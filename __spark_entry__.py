@@ -1,38 +1,56 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)     — flagship: full fast-mode near-dup clustering of the
+                   sf0.001 documents table → (url, cluster_id,
+                   is_survivor, n_members).
+queries()        — one entry per implemented operator (SURVEY.md §2),
+                   built from the production modules in dedup/.
+oracle_sql()     — independently-written DuckDB SQL for each query
+                   (dedup/driver_queries.py ORACLES).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: end-to-end near-dup
+    detection + clustering + survivor selection (fast hash mode)."""
+    from dedup.config import DedupConfig
+    from dedup.pages import load_pages, pages_sources
+    from dedup.pipeline import run_dedup
+
+    cfg = DedupConfig()
+    pages = load_pages(spark, "/root/testdata/sf0.001")
+    sources = pages_sources(pages)
+    res = run_dedup(pages, cfg, sources=sources)
+    surv = res.survivors.select("cluster_id", "survivor_url", "n_members")
+    return (
+        res.assignments.join(surv, "cluster_id")
+        .select(
+            "url",
+            "cluster_id",
+            (F.col("url") == F.col("survivor_url")).alias("is_survivor"),
+            "n_members",
+        )
+        .orderBy("cluster_id", "url")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from dedup.driver_queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from dedup.driver_queries import ORACLES
+
+    return dict(ORACLES)

@@ -1,0 +1,117 @@
+"""Pipeline driver (SURVEY.md §7 stage 11).
+
+Run via spark-submit:
+
+    spark-submit --py-files dedup.zip dedup/cli.py \
+        --input /path/pages_parquet --output /tmp/dedup_out \
+        --stage all [--resume] [--n-docs 50000]
+
+Stages checkpoint through CheckpointStore; `--resume` skips completed
+stages using the manifest. `--synthetic N` generates the seeded corpus
+instead of reading parquet (no external data).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+# allow `python dedup/cli.py` / `spark-submit dedup/cli.py` from anywhere;
+# drop the script dir itself so package modules can't shadow stdlib names
+_pkg_dir = os.path.dirname(os.path.abspath(__file__))
+sys.path[:] = [p for p in sys.path if os.path.abspath(p or ".") != _pkg_dir]
+sys.path.insert(0, os.path.dirname(_pkg_dir))
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", help="pages parquet directory")
+    ap.add_argument("--synthetic", type=int, default=0,
+                    help="generate a seeded synthetic corpus of N docs")
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--master", default=None)
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--run-id", default="run-0")
+    ap.add_argument("--jaccard", type=float, default=0.8)
+    ap.add_argument("--channels", default="lsh,exact",
+                    help="comma list from {lsh,exact,simhash,substring}")
+    args = ap.parse_args(argv)
+
+    from dedup.checkpoint import CheckpointStore
+    from dedup.config import DedupConfig
+    from dedup.corpus import corpus_dataframes
+    from dedup.metrics import StageMetrics
+    from dedup.pipeline import run_dedup
+    from dedup.session import get_spark
+    from dedup.simhash import simhash_candidates, with_simhash
+    from dedup.normalize import quarantine_filter, with_normalized
+    from dedup.suffix import substring_edges
+    from pyspark.sql import functions as F
+
+    spark = get_spark("dedup-cli", master=args.master)
+    cfg = DedupConfig(jaccard_threshold=args.jaccard)
+    store = CheckpointStore(args.output, run_id=args.run_id)
+    if not args.resume:
+        store.invalidate_from("clean", [
+            "clean", "edges", "assignments", "survivors"
+        ])
+    metrics = StageMetrics()
+    t0 = time.time()
+
+    if args.synthetic:
+        pages, truth, sources = corpus_dataframes(spark, args.synthetic, args.seed)
+    elif args.input:
+        pages = spark.read.parquet(args.input)
+        sources = None
+    else:
+        ap.error("need --input or --synthetic")
+
+    channels = set(args.channels.split(","))
+    cand_channels, bypass_channels = [], []
+    norm = with_normalized(pages)
+    clean = quarantine_filter(norm)
+    if "simhash" in channels:
+        sim = with_simhash(clean, cfg).select("url", "simhash")
+        sim_pairs, sim_hot = simhash_candidates(sim, cfg)
+        cand_channels.append(sim_pairs.select("url_a", "url_b"))
+        metrics.record_stage("simhash_hot_buckets", sim_hot)
+    if "substring" in channels:
+        sub_edges, sub_hot = substring_edges(clean, cfg)
+        bypass_channels.append(sub_edges.select("url_a", "url_b"))
+        metrics.record_stage("substring_hot_buckets", sub_hot)
+
+    res = run_dedup(
+        pages, cfg, sources=sources,
+        candidate_channels=cand_channels,
+        bypass_jaccard_channels=bypass_channels,
+        run_id=args.run_id,
+    )
+
+    clean_ck = store.write_stage("clean", res.clean.drop("html"))
+    metrics.record_stage("clean", clean_ck, histogram=True)
+    edges_ck = store.write_stage("edges", res.edges)
+    metrics.record_stage("edges", edges_ck, histogram=True)
+    assign_ck = store.write_stage("assignments", res.assignments)
+    metrics.record_stage("assignments", assign_ck, histogram=True)
+    surv_ck = store.write_stage("survivors", res.survivors)
+    metrics.record_stage("survivors", surv_ck)
+    metrics.record_stage("hot_buckets", res.hot_buckets)
+
+    wall = time.time() - t0
+    n_docs = clean_ck.count()
+    metrics.records.append(
+        {"stage": "TOTAL", "wall_s": wall, "docs": n_docs,
+         "docs_per_sec": n_docs / wall if wall else 0.0}
+    )
+    metrics.write(f"{args.output}/metrics.jsonl")
+    print(json.dumps(metrics.records[-1]))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

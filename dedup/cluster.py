@@ -1,0 +1,120 @@
+"""Connected components via alternating large-star / small-star
+(SURVEY.md §7 stage 6; Kiveris et al., "Connected Components in
+MapReduce and Beyond", SoCC'14 — O(log n) rounds).
+
+Each iteration is expressed as groupBy-min + join (NOT collect_set —
+a high-degree node would blow a collected adjacency list; the min-join
+formulation keeps every operator streaming). Per-iteration
+localCheckpoint truncates the lineage so plans don't grow with rounds,
+and convergence is detected by an aggregate fingerprint of the edge
+multiset (one count + hash-sum, no driver-side edge materialization).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _undirect(edges: DataFrame) -> DataFrame:
+    """Both directions, self-loops dropped, deduped."""
+    e = edges.select(F.col("url_a").alias("u"), F.col("url_b").alias("v"))
+    return (
+        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _min_neighbor(e2: DataFrame) -> DataFrame:
+    """m(u) = min(Γ(u) ∪ {u}) per node, from the bidirectional edge list."""
+    return e2.groupBy("u").agg(
+        F.least(F.min("v"), F.first("u")).alias("m")
+    )
+
+
+def _large_star(e2: DataFrame) -> DataFrame:
+    """Connect every strictly-larger neighbor to m(u)."""
+    m = _min_neighbor(e2)
+    return (
+        e2.join(m, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(e2: DataFrame) -> DataFrame:
+    """Connect every smaller-or-equal neighbor (and u itself) to the min."""
+    le = e2.filter(F.col("v") < F.col("u"))
+    m = le.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+    out = (
+        le.join(m, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .union(m.select(F.col("u"), F.col("m").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    return out
+
+
+def _fingerprint(e2: DataFrame) -> tuple[int, int]:
+    row = e2.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
+def connected_components(
+    edges: DataFrame, max_iterations: int = 25
+) -> DataFrame:
+    """edges(url_a, url_b) → assignments(url, cluster_id).
+
+    cluster_id is the minimum url of the component — deterministic, like
+    the reference's canonical field ordering guarantees
+    (lib/record-utils.js:116-131).
+    """
+    spark = edges.sparkSession
+    e2 = _undirect(edges).localCheckpoint(eager=True)
+    prev = _fingerprint(e2)
+    for _ in range(max_iterations):
+        after_large = _undirect(
+            _large_star(e2).select(
+                F.col("u").alias("url_a"), F.col("v").alias("url_b")
+            )
+        )
+        after_small = _small_star(after_large)
+        e2 = _undirect(
+            after_small.select(F.col("u").alias("url_a"), F.col("v").alias("url_b"))
+        ).localCheckpoint(eager=True)
+        cur = _fingerprint(e2)
+        if cur == prev:
+            break
+        prev = cur
+
+    # converged: edges form stars child→root (root = component min).
+    # roots: nodes that appear only as targets.
+    child_to_root = e2.filter(F.col("v") < F.col("u")).select(
+        F.col("u").alias("url"), F.col("v").alias("cluster_id")
+    )
+    roots = (
+        e2.select(F.least("u", "v").alias("url"))
+        .distinct()
+        .join(child_to_root.select("url"), "url", "left_anti")
+        .select("url", F.col("url").alias("cluster_id"))
+    )
+    return child_to_root.union(roots).distinct()
+
+
+def assignments_with_singletons(
+    assignments: DataFrame, all_urls: DataFrame
+) -> DataFrame:
+    """Every url gets a cluster: non-edge docs become singleton clusters
+    (their own url as cluster_id)."""
+    missing = all_urls.select("url").join(
+        assignments.select("url"), "url", "left_anti"
+    )
+    return assignments.unionByName(
+        missing.select("url", F.col("url").alias("cluster_id"))
+    )

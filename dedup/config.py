@@ -1,0 +1,100 @@
+"""Pipeline configuration.
+
+The reference wires behaviour through per-tag config dicts
+(lib/mergeability-validators.js:95-100, lib/record-utils.js:31-38); the
+rebuild concentrates all knobs in one dataclass that every stage takes.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+# 2^61 - 1 (Mersenne); the modulus for the portable affine permutations.
+MERSENNE_61 = (1 << 61) - 1
+
+# Stop-field rule vocabulary of the reference's validate-fields engine
+# (lib/validate-fields.js:32-94). See dedup/rules.py.
+DEFAULT_FIELD_RULES: dict[str, list[str]] = {
+    # web analogues of the reference's configured tags
+    # (lib/mergeability-validators.js:95-100):
+    #   027 neitherHas; 240 identical|neitherHas;
+    #   830 identical|preferredIsSupersetExceptIfEmpty; 880 identical|otherHas
+    "canonical_links": ["identical", "preferredIsSupersetExceptIfEmpty"],
+    "meta_tags": ["identical", "otherHas"],
+    "tracking_ids": ["neitherHas"],
+}
+
+
+@dataclass(frozen=True)
+class DedupConfig:
+    """All knobs for one dedup run. Deterministic given (seed, knobs)."""
+
+    # --- shingling / signatures -------------------------------------
+    k_shingle: int = 9          # char k-grams over normalized text
+    num_perm: int = 128         # MinHash permutations (fast mode)
+    bands: int = 32             # LSH bands b
+    rows_per_band: int = 4      # LSH rows r  (b*r == num_perm)
+    seed: int = 42
+
+    # hash_mode:
+    #   "fast"     — JVM xxhash64 shingle hashes + numpy splitmix64
+    #                permutations (production path)
+    #   "portable" — md5-derived 60-bit hashes expressible identically
+    #                in Spark SQL and DuckDB (oracle-checked path)
+    hash_mode: str = "fast"
+
+    # portable mode uses a smaller signature so the DuckDB oracle stays
+    # cheap; parity (not recall) is what that mode certifies.
+    portable_num_perm: int = 16
+    portable_bands: int = 4
+    portable_rows_per_band: int = 4
+
+    # --- verification ----------------------------------------------
+    jaccard_threshold: float = 0.80   # north_rule minimum-slice threshold
+
+    # --- SimHash channel -------------------------------------------
+    simhash_bits: int = 64
+    simhash_chunks: int = 4           # pigeonhole chunks (distance <= chunks-1)
+    simhash_max_hamming: int = 3
+
+    # --- substring / suffix channel --------------------------------
+    fingerprint_window: int = 32      # winnowing window (chars)
+    substring_min_len: int = 64       # shorter docs skip the channel
+    substring_min_shared: int = 2     # shared fingerprints to become candidate
+
+    # --- skew / scale hygiene --------------------------------------
+    max_bucket_size: int = 64         # LSH band bucket cap (hot-bucket guard)
+    shuffle_partitions: int = 32
+
+    # --- survivor selection ----------------------------------------
+    lang_priority: tuple[str, ...] = ("fi", "sv", "en", "de", "fr", "es", "zh")
+
+    # --- rule engine ------------------------------------------------
+    field_rules: dict[str, list[str]] = field(
+        default_factory=lambda: dict(DEFAULT_FIELD_RULES)
+    )
+
+    def __post_init__(self) -> None:
+        if self.bands * self.rows_per_band != self.num_perm:
+            raise ValueError("bands * rows_per_band must equal num_perm")
+        if self.portable_bands * self.portable_rows_per_band != self.portable_num_perm:
+            raise ValueError("portable bands * rows must equal portable_num_perm")
+        if self.hash_mode not in ("fast", "portable"):
+            raise ValueError(f"unknown hash_mode {self.hash_mode!r}")
+
+    @property
+    def effective_num_perm(self) -> int:
+        return self.num_perm if self.hash_mode == "fast" else self.portable_num_perm
+
+    @property
+    def effective_bands(self) -> int:
+        return self.bands if self.hash_mode == "fast" else self.portable_bands
+
+    @property
+    def effective_rows(self) -> int:
+        return (
+            self.rows_per_band
+            if self.hash_mode == "fast"
+            else self.portable_rows_per_band
+        )

@@ -1,0 +1,696 @@
+"""Driver-contract queries: one entry per implemented operator
+(SURVEY.md §2), each with a DuckDB oracle (CORRECTNESS gate).
+
+Design rules for engine-parity (driver hashes values column-sorted):
+  * no floats in outputs — integer-scaled (micro) values via EXACT
+    integer division (`div` / `//`), never float-floor;
+  * no timestamps — epoch seconds as BIGINT;
+  * no arrays — exploded rows or ','-joined sorted strings;
+  * the only shared hash is h60(x) = first 60 bits of md5, identical by
+    construction in both engines (dedup/hashing.py h60/h60_duckdb);
+  * deterministic tie-breaks everywhere (url / vec_id ASC).
+
+The Spark side of every query is built from the production operator
+modules (normalize/minhash/candidates/verify/cluster/select/textstats/
+embeddings) in `portable` hash mode; the DuckDB side is written
+independently as plain SQL against the same parquet-derived views.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from dedup.candidates import pairs_from_buckets
+from dedup.config import DedupConfig
+from dedup.embeddings import brute_force_topk
+from dedup.hashing import h60
+from dedup.minhash import explode_bands, signatures, with_shingles
+from dedup.normalize import with_normalized, quarantine_filter
+from dedup.pages import EPOCH_BASE, TS_STEP_SECONDS, load_pages
+from dedup.survivor import select_survivors
+from dedup.textstats import (
+    lang_id,
+    quality_features,
+    token_count,
+)
+
+# portable-mode config used by every oracle-checked query; the huge
+# bucket cap makes Spark's capped pair expansion coincide with the
+# oracle's uncapped self-join on this (tiny) comparison tier.
+CFG = DedupConfig(hash_mode="portable", max_bucket_size=1_000_000_000)
+
+JACCARD_MICRO_THRESHOLD = 800_000  # 0.8 in micro units
+
+# ---------------------------------------------------------------------------
+# shared DuckDB SQL fragments
+# ---------------------------------------------------------------------------
+
+_H60 = "(('0x' || substr(md5({x}), 1, 15))::BIGINT)"
+
+
+def _h60(x: str) -> str:
+    return _H60.format(x=x)
+
+
+_PAGES_CTE = f"""
+pages AS (
+  SELECT 'https://' || source || '.example/doc/' || doc_id::VARCHAR AS url,
+         (1704067200 + doc_id * 60)::BIGINT AS warc_ts_epoch,
+         text, lang, source
+  FROM documents
+)
+"""
+
+_NORM_CTE = """
+normalized AS (
+  SELECT url, warc_ts_epoch, lang, source, text,
+         trim(regexp_replace(lower(text), '[^a-z0-9åäö]+', ' ', 'g')) AS norm_text
+  FROM pages
+)
+"""
+
+_CLEAN_CTE = """
+clean AS (
+  SELECT * FROM normalized
+  WHERE NOT (text IS NULL OR trim(text) = '')
+    AND NOT contains(lower(text), 'noindex')
+    AND NOT starts_with(text, '^^')
+)
+"""
+
+_SHINGLE_CTE = """
+shingled AS (
+  SELECT url,
+         unnest(list_transform(range(1, greatest(length(norm_text) - 8, 1) + 1),
+                               i -> substr(norm_text, i::INT, 9))) AS sh
+  FROM clean
+),
+dsh AS (
+  SELECT DISTINCT url, {h} AS shash
+  FROM shingled
+),
+sh_sizes AS (SELECT url, count(*) AS n_sh FROM dsh GROUP BY url)
+""".format(h=_h60("sh"))
+
+_SIG_CTE = """
+perms AS (SELECT unnest(range(0, 16)) AS perm),
+sig AS (
+  SELECT d.url, p.perm,
+         min({h}) AS sig_val
+  FROM dsh d CROSS JOIN perms p
+  GROUP BY d.url, p.perm
+)
+""".format(h=_h60("p.perm::VARCHAR || ':' || d.shash::VARCHAR"))
+
+_BANDS_CTE = """
+band_strs AS (
+  SELECT url, (perm // 4)::INT AS band_idx,
+         string_agg(sig_val::VARCHAR, ',' ORDER BY perm) AS band_str
+  FROM sig GROUP BY url, (perm // 4)::INT
+),
+bands AS (
+  SELECT url, band_idx,
+         {h} AS band_key
+  FROM band_strs
+)
+""".format(h=_h60("band_idx::VARCHAR || '|' || band_str"))
+
+_CAND_CTE = """
+cands AS (
+  SELECT DISTINCT a.url AS url_a, b.url AS url_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.url < b.url
+)
+"""
+
+_JACC_CTE = """
+inter AS (
+  SELECT c.url_a, c.url_b, count(*) AS n_inter
+  FROM cands c
+  JOIN dsh a ON a.url = c.url_a
+  JOIN dsh b ON b.url = c.url_b AND b.shash = a.shash
+  GROUP BY c.url_a, c.url_b
+),
+jacc AS (
+  SELECT i.url_a, i.url_b, i.n_inter,
+         sa.n_sh + sb.n_sh - i.n_inter AS n_union,
+         (1000000 * i.n_inter) // (sa.n_sh + sb.n_sh - i.n_inter)
+           AS jaccard_micro
+  FROM inter i
+  JOIN sh_sizes sa ON sa.url = i.url_a
+  JOIN sh_sizes sb ON sb.url = i.url_b
+)
+"""
+
+# pair gates for the driver table: lang equality (sameType analogue),
+# source overlap (noSameLOWTags analogue), diacritics asymmetry
+_DIAC = "regexp_matches({t}, '[^ -~,''öäå]')"
+_EDGES_CTE = f"""
+edges AS (
+  SELECT j.url_a, j.url_b, j.jaccard_micro
+  FROM jacc j
+  JOIN clean pa ON pa.url = j.url_a
+  JOIN clean pb ON pb.url = j.url_b
+  WHERE j.jaccard_micro >= {JACCARD_MICRO_THRESHOLD}
+    AND pa.lang = pb.lang
+    AND pa.source <> pb.source
+    AND NOT ({_DIAC.format(t='pb.text')} AND NOT {_DIAC.format(t='pa.text')})
+)
+"""
+
+_CLUSTERS_CTE = """
+und AS (
+  SELECT url_a AS u, url_b AS v FROM edges
+  UNION
+  SELECT url_b AS u, url_a AS v FROM edges
+),
+reach(u, v) AS (
+  SELECT u, v FROM und
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u AND r.u <> e.v
+),
+clusters AS (
+  SELECT c.url,
+         least(c.url, coalesce(min(r.v), c.url)) AS cluster_id
+  FROM clean c LEFT JOIN reach r ON r.u = c.url
+  GROUP BY c.url
+)
+"""
+
+_PIPE_PREFIX = (
+    "WITH RECURSIVE "
+    + ",".join(
+        x.strip().rstrip(",")
+        for x in [
+            _PAGES_CTE,
+            _NORM_CTE,
+            _CLEAN_CTE,
+            _SHINGLE_CTE,
+            _SIG_CTE,
+            _BANDS_CTE,
+            _CAND_CTE,
+            _JACC_CTE,
+            _EDGES_CTE,
+            _CLUSTERS_CTE,
+        ]
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# Spark-side builders (production operators, portable mode)
+# ---------------------------------------------------------------------------
+
+
+def _clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = load_pages(spark, sf_dir)
+    return quarantine_filter(with_normalized(pages))
+
+
+def _bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = signatures(_clean(spark, sf_dir), CFG)
+    return explode_bands(sigs, CFG)
+
+
+def _candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs, _hot = pairs_from_buckets(
+        _bands(spark, sf_dir), ["band_idx", "band_key"], CFG
+    )
+    return pairs
+
+
+def _jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    clean = _clean(spark, sf_dir)
+    sh = with_shingles(clean, CFG).select("url", "shingles")
+    pairs, _hot = pairs_from_buckets(
+        explode_bands(signatures(clean, CFG), CFG), ["band_idx", "band_key"], CFG
+    )
+    sa = sh.select(F.col("url").alias("url_a"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col("url").alias("url_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    uni = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        pairs.join(sa, "url_a")
+        .join(sb, "url_b")
+        .select(
+            "url_a",
+            "url_b",
+            inter.cast("long").alias("n_inter"),
+            uni.cast("long").alias("n_union"),
+            F.expr(
+                "CAST((1000000 * size(array_intersect(sh_a, sh_b))) div "
+                "(size(sh_a) + size(sh_b) - size(array_intersect(sh_a, sh_b)))"
+                " AS BIGINT)"
+            ).alias("jaccard_micro"),
+        )
+    )
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    jacc = _jaccard(spark, sf_dir)
+    clean = _clean(spark, sf_dir)
+    feats = clean.select("url", "lang", "source", "has_diacritics")
+    fa = feats.select(*[F.col(c).alias(f"a_{c}") for c in feats.columns])
+    fb = feats.select(*[F.col(c).alias(f"b_{c}") for c in feats.columns])
+    return (
+        jacc.join(fa, jacc.url_a == fa.a_url)
+        .join(fb, jacc.url_b == fb.b_url)
+        .filter(
+            (F.col("jaccard_micro") >= JACCARD_MICRO_THRESHOLD)
+            & (F.col("a_lang") == F.col("b_lang"))
+            & (F.col("a_source") != F.col("b_source"))
+            & ~(F.col("b_has_diacritics") & ~F.col("a_has_diacritics"))
+        )
+        .select("url_a", "url_b", "jaccard_micro")
+    )
+
+
+def _clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dedup.cluster import assignments_with_singletons, connected_components
+
+    edges = _edges(spark, sf_dir).select("url_a", "url_b")
+    clean = _clean(spark, sf_dir)
+    assign = connected_components(edges)
+    return assignments_with_singletons(assign, clean.select("url"))
+
+
+def _survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    clean = _clean(spark, sf_dir)
+    assign = _clusters(spark, sf_dir)
+    members = assign.join(
+        clean.select(
+            "url",
+            "warc_ts",
+            F.length("text").alias("text_len"),
+            "lang",
+            F.array("source").alias("sources"),
+        ),
+        "url",
+    )
+    surv = select_survivors(members, CFG)
+    return surv.select(
+        "cluster_id",
+        "survivor_url",
+        F.col("n_members").cast("long").alias("n_members"),
+        F.concat_ws(",", "merged_from").alias("merged_from_str"),
+        "cluster_key",
+    )
+
+
+# ---------------------------------------------------------------------------
+# the query registry
+# ---------------------------------------------------------------------------
+
+
+def q_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = load_pages(spark, sf_dir)
+    return pages.select(
+        "url",
+        F.unix_timestamp("warc_ts").cast("long").alias("warc_ts_epoch"),
+        "lang",
+        "source",
+        F.length("text").cast("long").alias("n_chars"),
+    )
+
+
+def q_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = with_normalized(load_pages(spark, sf_dir))
+    return pages.select(
+        "url",
+        "norm_text",
+        F.col("is_deleted").cast("int").alias("is_deleted"),
+        F.col("is_truncated").cast("int").alias("is_truncated"),
+        F.col("is_suppressed").cast("int").alias("is_suppressed"),
+        F.col("has_diacritics").cast("int").alias("has_diacritics"),
+    )
+
+
+def q_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    clean = _clean(spark, sf_dir)
+    hashed = clean.select("url", h60(F.col("norm_text")).alias("text_hash"))
+    return hashed.groupBy("text_hash").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("url").alias("rep_url"),
+    )
+
+
+def q_shingle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    clean = _clean(spark, sf_dir)
+    sh = with_shingles(clean, CFG)
+    return sh.select(
+        "url",
+        F.size("shingles").cast("long").alias("n_shingles"),
+        token_count(F.col("text")).alias("n_tokens"),
+    )
+
+
+def q_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = signatures(_clean(spark, sf_dir), CFG)
+    return sigs.select(
+        "url", F.posexplode("sig").alias("perm", "sig_val")
+    ).select("url", F.col("perm").cast("long").alias("perm"), "sig_val")
+
+
+def q_lsh_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _bands(spark, sf_dir).select(
+        "url", F.col("band_idx").cast("long").alias("band_idx"), "band_key"
+    )
+
+
+def q_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _candidates(spark, sf_dir)
+
+
+def q_candidate_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _jaccard(spark, sf_dir)
+
+
+def q_verified_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _edges(spark, sf_dir)
+
+
+def q_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _clusters(spark, sf_dir)
+
+
+def q_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _survivors(spark, sf_dir)
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = load_pages(spark, sf_dir)
+    return pages.select("url", lang_id(F.col("text")).alias("lang_pred"))
+
+
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = load_pages(spark, sf_dir)
+    f = quality_features(F.col("text"))
+    return pages.select(
+        "url",
+        f["n_chars"].alias("n_chars"),
+        f["n_tokens"].alias("n_tokens"),
+        f["n_alpha"].alias("n_alpha"),
+        f["n_punct"].alias("n_punct"),
+        F.expr(
+            "CAST((length(regexp_replace(trim(text), '[^a-zA-Zåäö]', '')) * 1000000)"
+            " div greatest(length(trim(text)), 1) AS BIGINT)"
+        ).alias("alpha_ratio_micro"),
+    )
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable doc fingerprint sample: min/max h60 shingle hash + count —
+    the winnowing-style content id the substring channel samples from."""
+    clean = _clean(spark, sf_dir)
+    sh = with_shingles(clean, CFG)
+    return sh.select(
+        "url",
+        F.array_min("shingles").alias("fp_min"),
+        F.array_max("shingles").alias("fp_max"),
+        F.size("shingles").cast("long").alias("n_shingles"),
+    )
+
+
+def q_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact containment dedup (oracle-checkable formulation): pairs
+    where one normalized text appears verbatim inside the other.
+    The production channel (winnowing fingerprints, dedup/suffix.py)
+    computes the same relation scalably; this query IS the semantics."""
+    clean = _clean(spark, sf_dir).select("url", "norm_text")
+    a = clean.select(F.col("url").alias("url_a"), F.col("norm_text").alias("t_a"))
+    b = clean.select(F.col("url").alias("url_b"), F.col("norm_text").alias("t_b"))
+    return (
+        a.crossJoin(b)
+        .filter(
+            (F.col("url_a") != F.col("url_b"))
+            & (F.length("t_a") < F.length("t_b"))
+            & (F.instr(F.col("t_b"), F.col("t_a")) > 0)
+        )
+        .select(
+            F.col("url_a").alias("contained_url"),
+            F.col("url_b").alias("container_url"),
+        )
+    )
+
+
+def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    return brute_force_topk(emb, queries, k=5).select(
+        F.col("q_id").cast("long").alias("q_id"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("rank").cast("long").alias("rank"),
+        "cosine_micro",
+    )
+
+
+QUERIES = {
+    "pages_derivation": q_pages,
+    "normalize_flags": q_normalize,
+    "exact_dup_groups": q_exact_groups,
+    "shingle_stats": q_shingle_stats,
+    "minhash_signatures": q_minhash_sig,
+    "lsh_bands": q_lsh_bands,
+    "lsh_candidates": q_lsh_candidates,
+    "candidate_jaccard": q_candidate_jaccard,
+    "verified_edges": q_verified_edges,
+    "dedup_clusters": q_clusters,
+    "survivor_selection": q_survivors,
+    "lang_id": q_lang_id,
+    "quality_features": q_quality,
+    "doc_fingerprint": q_fingerprint,
+    "substring_containment": q_substring_pairs,
+    "knn_cosine_topk": q_knn_cosine,
+}
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+ORACLES: dict[str, str] = {}
+
+ORACLES["pages_derivation"] = f"""
+WITH {_PAGES_CTE.strip()}
+SELECT url, warc_ts_epoch, lang, source, length(text)::BIGINT AS n_chars
+FROM pages
+"""
+
+ORACLES["normalize_flags"] = f"""
+WITH {_PAGES_CTE.strip()}, {_NORM_CTE.strip()}
+SELECT url, norm_text,
+       (text IS NULL OR trim(text) = '')::INT AS is_deleted,
+       starts_with(text, '^^')::INT AS is_truncated,
+       contains(lower(text), 'noindex')::INT AS is_suppressed,
+       regexp_matches(text, '[^ -~,''öäå]')::INT AS has_diacritics
+FROM normalized
+"""
+
+ORACLES["exact_dup_groups"] = f"""
+WITH {_PAGES_CTE.strip()}, {_NORM_CTE.strip()}, {_CLEAN_CTE.strip()}
+SELECT {_h60('norm_text')} AS text_hash,
+       count(*)::BIGINT AS n_docs, min(url) AS rep_url
+FROM clean GROUP BY 1
+"""
+
+ORACLES["shingle_stats"] = f"""
+WITH {_PAGES_CTE.strip()}, {_NORM_CTE.strip()}, {_CLEAN_CTE.strip()},
+{_SHINGLE_CTE.strip()}
+SELECT c.url, s.n_sh::BIGINT AS n_shingles,
+       CASE WHEN length(trim(c.text)) = 0 THEN 0
+            ELSE length(regexp_split_to_array(trim(c.text), '\\s+')::VARCHAR[])
+       END::BIGINT AS n_tokens
+FROM clean c JOIN sh_sizes s ON s.url = c.url
+"""
+
+ORACLES["minhash_signatures"] = f"""
+WITH {_PAGES_CTE.strip()}, {_NORM_CTE.strip()}, {_CLEAN_CTE.strip()},
+{_SHINGLE_CTE.strip()}, {_SIG_CTE.strip()}
+SELECT url, perm::BIGINT AS perm, sig_val FROM sig
+"""
+
+ORACLES["lsh_bands"] = f"""
+WITH {_PAGES_CTE.strip()}, {_NORM_CTE.strip()}, {_CLEAN_CTE.strip()},
+{_SHINGLE_CTE.strip()}, {_SIG_CTE.strip()}, {_BANDS_CTE.strip()}
+SELECT url, band_idx::BIGINT AS band_idx, band_key FROM bands
+"""
+
+ORACLES["lsh_candidates"] = f"""
+WITH {_PAGES_CTE.strip()}, {_NORM_CTE.strip()}, {_CLEAN_CTE.strip()},
+{_SHINGLE_CTE.strip()}, {_SIG_CTE.strip()}, {_BANDS_CTE.strip()},
+{_CAND_CTE.strip()}
+SELECT url_a, url_b FROM cands
+"""
+
+ORACLES["candidate_jaccard"] = f"""
+WITH {_PAGES_CTE.strip()}, {_NORM_CTE.strip()}, {_CLEAN_CTE.strip()},
+{_SHINGLE_CTE.strip()}, {_SIG_CTE.strip()}, {_BANDS_CTE.strip()},
+{_CAND_CTE.strip()}, {_JACC_CTE.strip()}
+SELECT url_a, url_b, n_inter::BIGINT AS n_inter, n_union::BIGINT AS n_union,
+       jaccard_micro::BIGINT AS jaccard_micro
+FROM jacc
+"""
+
+ORACLES["verified_edges"] = f"""
+WITH {_PAGES_CTE.strip()}, {_NORM_CTE.strip()}, {_CLEAN_CTE.strip()},
+{_SHINGLE_CTE.strip()}, {_SIG_CTE.strip()}, {_BANDS_CTE.strip()},
+{_CAND_CTE.strip()}, {_JACC_CTE.strip()}, {_EDGES_CTE.strip()}
+SELECT url_a, url_b, jaccard_micro::BIGINT AS jaccard_micro FROM edges
+"""
+
+ORACLES["dedup_clusters"] = f"""
+{_PIPE_PREFIX}
+SELECT url, cluster_id FROM clusters
+"""
+
+_LANG_RANK_SQL = """
+CASE lang WHEN 'fi' THEN 0 WHEN 'sv' THEN 1 WHEN 'en' THEN 2 WHEN 'de' THEN 3
+          WHEN 'fr' THEN 4 WHEN 'es' THEN 5 WHEN 'zh' THEN 6 ELSE 7 END
+"""
+
+ORACLES["survivor_selection"] = f"""
+{_PIPE_PREFIX},
+members AS (
+  SELECT cl.url, cl.cluster_id, c.warc_ts_epoch, length(c.text) AS text_len,
+         c.lang, {_LANG_RANK_SQL.strip()} AS lang_rank
+  FROM clusters cl JOIN clean c ON c.url = cl.url
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY cluster_id
+    ORDER BY warc_ts_epoch DESC, text_len DESC, lang_rank ASC, url ASC
+  ) AS rn
+  FROM members
+),
+rollup AS (
+  SELECT cluster_id, count(*)::BIGINT AS n_members,
+         string_agg(url, ',' ORDER BY url) AS merged_from_str,
+         md5(string_agg(url, chr(10) ORDER BY url)) AS cluster_key
+  FROM members GROUP BY cluster_id
+)
+SELECT r.cluster_id, rk.url AS survivor_url, r.n_members, r.merged_from_str,
+       r.cluster_key
+FROM rollup r JOIN ranked rk ON rk.cluster_id = r.cluster_id AND rk.rn = 1
+"""
+
+_LANG_SCORE_SQL = """
+lang_scores AS (
+  SELECT url, l.lang,
+         {scores} AS score
+  FROM pages, (VALUES ('en'), ('de'), ('fr'), ('es'), ('fi'), ('sv')) l(lang)
+)
+"""
+
+
+def _occurrences_sql(token: str) -> str:
+    needle = f" {token} "
+    return (
+        f"((length(' ' || lower(text) || ' ') - "
+        f"length(replace(' ' || lower(text) || ' ', '{needle}', '')))"
+        f" / {len(needle)})::BIGINT"
+    )
+
+
+_MARKER_SQL = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "ist", "nicht"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "la", "que", "los", "una"],
+    "fi": ["ja", "on", "ei", "että", "joka"],
+    "sv": ["och", "att", "det", "som", "en"],
+}
+
+_LANG_CASES = " ".join(
+    "WHEN '{lang}' THEN ({expr})".format(
+        lang=lang, expr=" + ".join(_occurrences_sql(w) for w in words)
+    )
+    for lang, words in _MARKER_SQL.items()
+)
+
+ORACLES["lang_id"] = f"""
+WITH {_PAGES_CTE.strip()},
+scores AS (
+  SELECT url, l.lang, (CASE l.lang {_LANG_CASES} ELSE 0 END) AS score
+  FROM pages, (VALUES ('de'), ('en'), ('es'), ('fi'), ('fr'), ('sv')) l(lang)
+),
+best AS (
+  SELECT url, lang, score,
+         row_number() OVER (PARTITION BY url ORDER BY score DESC, lang DESC)
+           AS rn
+  FROM scores
+)
+SELECT url, CASE WHEN score > 0 THEN lang ELSE 'und' END AS lang_pred
+FROM best WHERE rn = 1
+"""
+
+ORACLES["quality_features"] = f"""
+WITH {_PAGES_CTE.strip()}
+SELECT url,
+       length(trim(text))::BIGINT AS n_chars,
+       (CASE WHEN length(trim(text)) = 0 THEN 0
+             ELSE length(regexp_split_to_array(trim(text), '\\s+')::VARCHAR[])
+        END)::BIGINT AS n_tokens,
+       length(regexp_replace(trim(text), '[^a-zA-Zåäö]', '', 'g'))::BIGINT
+         AS n_alpha,
+       length(regexp_replace(trim(text), '[^.,!?;:]', '', 'g'))::BIGINT
+         AS n_punct,
+       ((length(regexp_replace(trim(text), '[^a-zA-Zåäö]', '', 'g')) * 1000000)
+        // greatest(length(trim(text)), 1))::BIGINT AS alpha_ratio_micro
+FROM pages
+"""
+
+ORACLES["doc_fingerprint"] = f"""
+WITH {_PAGES_CTE.strip()}, {_NORM_CTE.strip()}, {_CLEAN_CTE.strip()},
+{_SHINGLE_CTE.strip()}
+SELECT url, min(shash) AS fp_min, max(shash) AS fp_max,
+       count(*)::BIGINT AS n_shingles
+FROM dsh GROUP BY url
+"""
+
+ORACLES["substring_containment"] = f"""
+WITH {_PAGES_CTE.strip()}, {_NORM_CTE.strip()}, {_CLEAN_CTE.strip()}
+SELECT a.url AS contained_url, b.url AS container_url
+FROM clean a JOIN clean b
+  ON a.url <> b.url
+ AND length(a.norm_text) < length(b.norm_text)
+ AND position(a.norm_text IN b.norm_text) > 0
+"""
+
+ORACLES["knn_cosine_topk"] = """
+WITH fixed AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> floor(x::DOUBLE * 1048576)::BIGINT) AS v
+  FROM embeddings
+),
+exploded AS (
+  SELECT vec_id, generate_subscripts(v, 1) AS dim, unnest(v) AS val
+  FROM fixed
+),
+norms AS (
+  SELECT vec_id, sum(val * val)::BIGINT AS n2 FROM exploded GROUP BY vec_id
+),
+dots AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS vec_id, sum(q.val * c.val)::BIGINT AS dot
+  FROM exploded q JOIN exploded c ON q.dim = c.dim AND q.vec_id <> c.vec_id
+  WHERE q.vec_id < 10
+  GROUP BY q.vec_id, c.vec_id
+),
+scored AS (
+  SELECT d.q_id, d.vec_id,
+         floor(d.dot / (sqrt(nq.n2::DOUBLE) * sqrt(nc.n2::DOUBLE)) * 1000000)
+           ::BIGINT AS cosine_micro
+  FROM dots d
+  JOIN norms nq ON nq.vec_id = d.q_id
+  JOIN norms nc ON nc.vec_id = d.vec_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY q_id ORDER BY cosine_micro DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT q_id::BIGINT AS q_id, vec_id::BIGINT AS vec_id, rank::BIGINT AS rank,
+       cosine_micro
+FROM ranked WHERE rank <= 5
+"""

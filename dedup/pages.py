@@ -1,0 +1,73 @@
+"""Load / derive the canonical pages table.
+
+Two sources:
+
+1. The driver's ``documents.parquet`` (doc_id, text, lang, source,
+   n_chars) — deterministically lifted into the pages shape. The same
+   derivation is written in DuckDB SQL in ``dedup/oracle.py`` so the
+   correctness gate sees identical inputs.
+2. Our own synthetic corpus (dedup/corpus.py) which is generated
+   directly in the pages shape.
+
+`html` is a deterministic wrapper of `text` so extraction is
+byte-exactly invertible per url (BASELINE.json input_hint invariant;
+exercised by dedup/extract.py tests).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+# Derivation constants — must match dedup/oracle.py PAGES_CTE.
+EPOCH_BASE = 1704067200  # 2024-01-01T00:00:00Z
+TS_STEP_SECONDS = 60
+
+
+def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def documents_to_pages(docs: DataFrame) -> DataFrame:
+    """Lift the driver documents table into the canonical pages shape.
+
+    url      := 'https://' || source || '.example/doc/' || doc_id
+    warc_ts  := epoch(EPOCH_BASE + doc_id * TS_STEP_SECONDS)
+    html     := '<html><body>' || text || '</body></html>'  (utf-8 bytes)
+    """
+    return docs.select(
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit(".example/doc/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.timestamp_seconds(
+            F.lit(EPOCH_BASE) + F.col("doc_id") * F.lit(TS_STEP_SECONDS)
+        ).alias("warc_ts"),
+        F.encode(
+            F.concat(F.lit("<html><body>"), F.col("text"), F.lit("</body></html>")),
+            "UTF-8",
+        ).alias("html"),
+        F.col("text"),
+        F.col("lang"),
+        # kept as a convenience for the source-overlap guard; the canonical
+        # side table shape is dedup/schema.py SOURCES_SCHEMA
+        F.col("source"),
+    )
+
+
+def load_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return documents_to_pages(load_documents(spark, sf_dir))
+
+
+def pages_sources(pages: DataFrame) -> DataFrame:
+    """Source-membership side table (LOW/SID analogue) from a pages DF
+    that carries a `source` column: one (url, source, source_local_id)
+    row per page."""
+    return pages.select(
+        "url",
+        "source",
+        F.concat(F.lit("FCC"), F.xxhash64("url").cast("string")).alias(
+            "source_local_id"
+        ),
+    )

@@ -1,0 +1,156 @@
+"""End-to-end pipeline composition (SURVEY.md §3 rebuild lifecycle).
+
+One driver program composes stages as DataFrame transformations;
+Catalyst produces the plan; stage boundaries are shuffles (band groupBy,
+CC iterations) and broadcasts (side tables). Channels (LSH / SimHash /
+substring) all feed the same verify → cluster → select tail, like the
+reference feeds every candidate pair through the same canMerge →
+applyPostMergeModifications tail.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, functions as F
+
+from dedup.candidates import (
+    exact_edges,
+    exact_groups,
+    lsh_candidates,
+    representatives,
+)
+from dedup.config import DedupConfig
+from dedup.cluster import assignments_with_singletons, connected_components
+from dedup.minhash import explode_bands, signatures
+from dedup.normalize import quarantine_filter, with_normalized
+from dedup.survivor import reprint_notes, select_survivors
+from dedup.verify import (
+    attach_features,
+    pair_reasons,
+    url_features,
+    verified_edges,
+)
+
+
+@dataclass
+class DedupResult:
+    clean: DataFrame          # quarantine-filtered normalized pages
+    quarantined: DataFrame    # rows excluded before pairing
+    shingle_sets: DataFrame   # (url, shingles, sig) for representatives
+    candidates: DataFrame     # raw LSH candidate pairs
+    hot_buckets: DataFrame    # capped buckets (skew lineage)
+    pairs: DataFrame          # candidates + jaccard + reasons
+    edges: DataFrame          # verified edges, all channels
+    assignments: DataFrame    # (url, cluster_id) for every clean url
+    survivors: DataFrame      # one row per cluster + lineage
+
+
+def run_dedup(
+    pages: DataFrame,
+    cfg: DedupConfig,
+    sources: DataFrame | None = None,
+    host_ids: DataFrame | None = None,
+    candidate_channels: list[DataFrame] | None = None,
+    bypass_jaccard_channels: list[DataFrame] | None = None,
+    run_id: str = "run-0",
+    run_ts: str = "1970-01-01T00:00:00+00:00",
+) -> DedupResult:
+    """Compose the full pipeline.
+
+    candidate_channels: extra (url_a, url_b) candidate pairs (e.g. the
+      SimHash Hamming-ball channel) — they go through the SAME Jaccard
+      threshold + reason gates as LSH candidates (the reference runs
+      every pair through canMerge regardless of where it came from).
+    bypass_jaccard_channels: (url_a, url_b) pairs whose similarity was
+      already verified by channel-specific means (exact substring
+      containment) — they skip the Jaccard threshold but still pass the
+      reason gates (source overlap / type / diacritics / host...).
+    """
+    norm = with_normalized(pages)
+    clean = quarantine_filter(norm)
+    quarantined = norm.join(clean.select("url"), "url", "left_anti")
+
+    # exact pre-dedup: one signature per distinct normalized text
+    groups = exact_groups(clean, cfg)
+    reps = representatives(groups)
+    rep_pages = clean.join(reps, "url")
+
+    # signatures + LSH candidates (representatives only)
+    sigs = signatures(rep_pages, cfg)
+    bands = explode_bands(sigs, cfg)
+    raw_candidates, hot = lsh_candidates(bands, cfg)
+
+    # exact-dup pairs join the same verification path (the reference
+    # gates identical records too — canMerge runs on every pair)
+    exact_pairs = exact_edges(groups).select("url_a", "url_b")
+    all_candidates = raw_candidates.unionByName(exact_pairs)
+    for ch in candidate_channels or []:
+        all_candidates = all_candidates.unionByName(ch.select("url_a", "url_b"))
+    all_candidates = all_candidates.distinct()
+
+    feats = url_features(clean, sources)
+    with_j = _jaccard_incl_exact(all_candidates, sigs, groups)
+    pairs = attach_features(with_j, feats)
+    pairs = pair_reasons(pairs, cfg, host_ids)
+    edges = verified_edges(pairs, cfg, "lsh")
+
+    if bypass_jaccard_channels:
+        bypass = bypass_jaccard_channels[0].select("url_a", "url_b")
+        for ch in bypass_jaccard_channels[1:]:
+            bypass = bypass.unionByName(ch.select("url_a", "url_b"))
+        bpairs = attach_features(bypass.distinct(), feats)
+        bpairs = pair_reasons(bpairs, cfg, host_ids)
+        bedges = bpairs.filter(F.col("can_merge")).select(
+            "url_a", "url_b",
+            F.lit(1.0).alias("jaccard"), F.lit("bypass").alias("channel"),
+        )
+        edges = edges.unionByName(bedges)
+
+    edges = edges.select("url_a", "url_b").distinct()
+
+    assign = connected_components(edges)
+    assign = assignments_with_singletons(assign, clean.select("url"))
+
+    members = assign.join(feats, "url")
+    survivors = select_survivors(
+        members, cfg, run_id=run_id, run_ts=run_ts
+    )
+    survivors = reprint_notes(members, survivors)
+
+    return DedupResult(
+        clean=clean,
+        quarantined=quarantined,
+        shingle_sets=sigs,
+        candidates=raw_candidates,
+        hot_buckets=hot,
+        pairs=pairs,
+        edges=edges,
+        assignments=assign,
+        survivors=survivors,
+    )
+
+
+def _jaccard_incl_exact(
+    candidates: DataFrame, sigs: DataFrame, groups: DataFrame
+) -> DataFrame:
+    """Jaccard for candidate pairs where both sides may be exact-dup
+    members: map each url to its representative's shingle set first."""
+    url_to_rep = groups.select("url", "rep_url")
+    rep_sh = sigs.select(F.col("url").alias("rep_url"), "shingles")
+    sh = url_to_rep.join(rep_sh, "rep_url").select("url", "shingles")
+    sa = sh.select(F.col("url").alias("url_a"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col("url").alias("url_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    uni = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        candidates.join(sa, "url_a")
+        .join(sb, "url_b")
+        .withColumn(
+            "jaccard",
+            F.when(uni > 0, inter.cast("double") / uni.cast("double")).otherwise(
+                F.lit(0.0)
+            ),
+        )
+        .drop("sh_a", "sh_b")
+    )

@@ -1,0 +1,47 @@
+"""SparkSession factory tuned for the dedup pipeline.
+
+Local mode for tests/bench; the same config block is what a
+``spark-submit --py-files dedup.zip`` run on a real cluster would set
+(minus master/driver-memory, which come from the submit command).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "dedup",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    master = master or os.environ.get("DEDUP_MASTER") or "local[{}]".format(
+        os.environ.get("SPARK_GRAFT_CPUS", "32")
+    )
+    if shuffle_partitions is None:
+        # match parallelism, not the 200 default (wrong at both ends)
+        n = master.split("[")[-1].rstrip("]") if "[" in master else "32"
+        shuffle_partitions = 32 if n == "*" else max(int(n), 4)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.driver.memory", os.environ.get("DEDUP_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

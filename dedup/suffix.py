@@ -1,0 +1,186 @@
+"""Exact-substring dedup — the suffix pass (SURVEY.md §7 stage 9).
+
+Goal: find pairs (A, B) where A's text appears verbatim inside B's
+(the containment analogue of the reference's normalized multiset
+containment, isSubset, lib/record-utils.js:260-279 — SURVEY.md §2.3.1).
+
+Scale design (two phases, both shuffle-bounded):
+
+1. Candidate generation by *winnowing fingerprints* (Schleimer et al.,
+   SIGMOD'03): every doc emits the set of k-gram hashes selected by the
+   winnowing rule (min hash in each sliding window). If A ⊆ B then all
+   of A's selected fingerprints (away from the edges) also appear in B,
+   so "docs sharing ≥ substring_min_shared fingerprints" is a
+   high-recall candidate blocking key. Fingerprint emission is a
+   `mapInPandas` numpy kernel (rolling hashes, vectorized); the bucket
+   join reuses the capped pair expansion from dedup.candidates, so hot
+   fingerprints (boilerplate) are bounded exactly like hot LSH bands.
+
+2. Verification by per-pair suffix comparison: a containment check
+   `instr(big.norm_text, small.norm_text) > 0` — JVM-side — on the
+   (tiny) candidate set. For block-local exact LCP work, a per-bucket
+   suffix-array kernel (numpy argsort over fixed-width slices) is
+   exposed as `suffix_array_lcp_pairs` and exercised in unit tests;
+   the pipeline uses the containment verify by default because the
+   north-star semantics ("one doc embedded in a longer doc",
+   FIXTURES.md dup_kind=substring) is containment.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from dedup.candidates import pairs_from_buckets
+from dedup.config import DedupConfig
+from dedup.hashing import splitmix64
+
+
+def winnow_fingerprints(
+    text: str, k: int, window: int
+) -> np.ndarray:
+    """Winnowing fingerprint set of one string (robust winnowing:
+    rightmost-min per window). Returns sorted unique uint64 hashes."""
+    n = len(text)
+    if n < k:
+        return np.array([], dtype=np.uint64)
+    b = np.frombuffer(text.encode("utf-8", "ignore")[: n * 4], dtype=np.uint8)
+    # byte-level k-grams over the utf-8 stream; for ascii-normalized text
+    # byte == char so the window semantics match the char definition
+    m = len(b) - k + 1
+    if m <= 0:
+        return np.array([], dtype=np.uint64)
+    # polynomial rolling hash base 257 mod 2^64, then splitmix finalize
+    base = np.uint64(257)
+    powers = base ** np.arange(k, dtype=np.uint64)  # wraps mod 2^64
+    # build k-gram hashes via strided sum (vectorized)
+    strides = np.lib.stride_tricks.sliding_window_view(b, k).astype(np.uint64)
+    raw = (strides * powers[None, :]).sum(axis=1, dtype=np.uint64)
+    hashes = splitmix64(raw)
+    if m <= window:
+        return np.unique(hashes.min(keepdims=True))
+    win = np.lib.stride_tricks.sliding_window_view(hashes, window)
+    return np.unique(win.min(axis=1))
+
+
+def fingerprint_table(
+    pages_with_norm: DataFrame, cfg: DedupConfig
+) -> DataFrame:
+    """(url, fp) — one row per winnowed fingerprint per doc."""
+    k, window, min_len = cfg.k_shingle, cfg.fingerprint_window, cfg.substring_min_len
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            urls, fps = [], []
+            for url, text in zip(pdf["url"], pdf["norm_text"]):
+                if text is None or len(text) < min_len:
+                    continue
+                f = winnow_fingerprints(text, k, window)
+                urls.extend([url] * len(f))
+                fps.extend(f.astype(np.int64))
+            yield pd.DataFrame({"url": urls, "fp": pd.array(fps, dtype="int64")})
+
+    return pages_with_norm.select("url", "norm_text").mapInPandas(
+        gen, schema="url string, fp long"
+    )
+
+
+def substring_candidates(
+    pages_with_norm: DataFrame, cfg: DedupConfig
+) -> tuple[DataFrame, DataFrame]:
+    """Candidate pairs sharing >= substring_min_shared fingerprints."""
+    fps = fingerprint_table(pages_with_norm, cfg)
+    pairs, hot = pairs_from_buckets(fps, ["fp"], cfg)
+    counted = (
+        pairs.groupBy("url_a", "url_b")
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .filter(F.col("shared_fps") >= cfg.substring_min_shared)
+    )
+    return counted, hot
+
+
+def verify_containment(
+    candidates: DataFrame, pages_with_norm: DataFrame
+) -> DataFrame:
+    """Keep pairs where one normalized text contains the other verbatim.
+
+    Output: (url_a, url_b, contained_url, container_url)."""
+    ta = pages_with_norm.select(
+        F.col("url").alias("url_a"), F.col("norm_text").alias("t_a")
+    )
+    tb = pages_with_norm.select(
+        F.col("url").alias("url_b"), F.col("norm_text").alias("t_b")
+    )
+    j = candidates.join(ta, "url_a").join(tb, "url_b")
+    a_in_b = F.instr(F.col("t_b"), F.col("t_a")) > 0
+    b_in_a = F.instr(F.col("t_a"), F.col("t_b")) > 0
+    return (
+        j.filter(a_in_b | b_in_a)
+        .select(
+            "url_a",
+            "url_b",
+            F.when(a_in_b, F.col("url_a")).otherwise(F.col("url_b")).alias(
+                "contained_url"
+            ),
+            F.when(a_in_b, F.col("url_b")).otherwise(F.col("url_a")).alias(
+                "container_url"
+            ),
+        )
+    )
+
+
+def substring_edges(
+    pages_with_norm: DataFrame, cfg: DedupConfig
+) -> tuple[DataFrame, DataFrame]:
+    """The full substring channel: winnow → block → verify → edges."""
+    cand, hot = substring_candidates(pages_with_norm, cfg)
+    verified = verify_containment(cand, pages_with_norm)
+    edges = verified.select(
+        "url_a", "url_b", F.lit(1.0).alias("jaccard"),
+        F.lit("substring").alias("channel"),
+    )
+    return edges, hot
+
+
+# ----------------------------------------------------------------- kernels
+def suffix_array_lcp_pairs(
+    texts: dict[str, str], min_lcp: int
+) -> list[tuple[str, str]]:
+    """Per-block exact kernel: cross-doc pairs whose longest common
+    substring ≥ min_lcp, via a suffix array (numpy argsort over
+    fixed-width suffix slices) + adjacent-LCP scan. Used inside
+    applyInPandas blocks and unit-tested against brute force."""
+    ids, offs, chunks = [], [], []
+    for did, t in texts.items():
+        ids.append(did)
+        chunks.append(t)
+    if not chunks:
+        return []
+    sep = "\x00"
+    joined = sep.join(chunks)
+    doc_of = np.empty(len(joined), dtype=np.int32)
+    pos = 0
+    for i, c in enumerate(chunks):
+        doc_of[pos : pos + len(c)] = i
+        if pos + len(c) < len(joined):
+            doc_of[pos + len(c)] = -1
+        pos += len(c) + 1
+    b = np.frombuffer(joined.encode("latin-1", "replace"), dtype=np.uint8)
+    n = len(b)
+    width = min(min_lcp, 64)
+    if n < width:
+        return []
+    view = np.lib.stride_tricks.sliding_window_view(b, width)
+    order = np.lexsort(view.T[::-1])
+    out = set()
+    for i in range(len(order) - 1):
+        p, q = order[i], order[i + 1]
+        if doc_of[p] < 0 or doc_of[q] < 0 or doc_of[p] == doc_of[q]:
+            continue
+        if (view[p] == view[q]).all():
+            a, bdoc = sorted((ids[doc_of[p]], ids[doc_of[q]]))
+            out.add((a, bdoc))
+    return sorted(out)

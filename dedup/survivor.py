@@ -1,0 +1,183 @@
+"""Survivor selection + lineage emission (SURVEY.md §7 stage 7).
+
+Internalizes the reference's preferred-record invariants (§2.3.3):
+
+* preference order — preferredRecordInFENNI authority priority
+  (mergeability-validators.js:69-81) then freshest warc_ts, longest
+  text, lang priority, url ASC for determinism (the fieldSorter lesson,
+  record-utils.js:116-131):
+      row_number() OVER (PARTITION BY cluster_id
+                         ORDER BY is_authority DESC, warc_ts DESC,
+                                  text_len DESC, lang_rank ASC, url ASC)
+* new identity for the survivor — reset001FromMergedRecord
+  (post-merge-modifiers.js:118-128): cluster_key = md5 over the sorted
+  member list.
+* provenance — add035zLinksToSourceRecords (:98-116): `merged_from`;
+  add583CommentAboutMergeOperation (:130-143): lineage struct with an
+  INJECTED run timestamp (the reference's wall-clock call is its one
+  nondeterminism — tests strip it; we parameterize instead).
+* source membership union — syncLOWandSIDFields (:37-96):
+  `sources` = union of member sources, `sid_links` synthesized
+  FCC<id>/<source> back-links.
+* history drop — removeCATFromMergedRecord (:145-147): the survivor row
+  carries no member-level history columns.
+* reprint notes — addReprintNotes (:161-201): distinguishing
+  non-survivor metadata folded in as normalized-deduped annotations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from dedup.config import DedupConfig
+
+
+def lang_rank_expr(cfg: DedupConfig):
+    m = {lang: i for i, lang in enumerate(cfg.lang_priority)}
+    expr = F.lit(len(cfg.lang_priority))
+    # build a CASE chain; constant-folded by Catalyst
+    for lang, i in m.items():
+        expr = F.when(F.col("lang") == lang, F.lit(i)).otherwise(expr)
+    return expr
+
+
+def select_survivors(
+    members: DataFrame,
+    cfg: DedupConfig,
+    authority_sources: tuple[str, ...] = (),
+    run_id: str = "run-0",
+    run_ts: str = "1970-01-01T00:00:00+00:00",
+) -> DataFrame:
+    """members: (url, cluster_id, warc_ts, text_len, lang, sources).
+    Returns one survivor row per cluster with full lineage."""
+    is_auth = (
+        F.exists("sources", lambda s: s.isin(list(authority_sources)))
+        if authority_sources
+        else F.lit(False)
+    )
+    ranked = members.withColumn("is_authority", is_auth).withColumn(
+        "lang_rank", lang_rank_expr(cfg)
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("is_authority").desc(),
+        F.col("warc_ts").desc(),
+        F.col("text_len").desc(),
+        F.col("lang_rank").asc(),
+        F.col("url").asc(),
+    )
+    ranked = ranked.withColumn("rn", F.row_number().over(w))
+
+    survivors = ranked.filter(F.col("rn") == 1).select(
+        "cluster_id",
+        F.col("url").alias("survivor_url"),
+        "warc_ts",
+        "text_len",
+        "lang",
+    )
+    rollup = ranked.groupBy("cluster_id").agg(
+        F.sort_array(F.collect_list("url")).alias("merged_from"),
+        F.sort_array(F.array_distinct(F.flatten(F.collect_list("sources")))).alias(
+            "sources"
+        ),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+    out = survivors.join(rollup, "cluster_id")
+
+    # reset001 analogue: fresh deterministic identity from the member set
+    out = out.withColumn(
+        "cluster_key", F.md5(F.concat_ws("\n", F.col("merged_from")))
+    )
+    # syncLOWandSID analogue: synthesized source back-links
+    out = out.withColumn(
+        "sid_links",
+        F.transform(
+            F.col("sources"),
+            lambda s: F.concat(F.lit("FCC"), F.col("cluster_key"), F.lit("/"), s),
+        ),
+    )
+    # 583 audit analogue, injected timestamp for determinism
+    out = out.withColumn(
+        "lineage",
+        F.struct(
+            F.concat_ws(" + ", F.col("merged_from")).alias("merged_from_note"),
+            F.lit(run_id).alias("run_id"),
+            F.lit(run_ts).alias("run_ts"),
+            F.lit("DEDUP").alias("agency"),
+        ),
+    )
+    return out
+
+
+def reprint_notes(
+    members: DataFrame, survivors: DataFrame
+) -> DataFrame:
+    """addReprintNotes analogue (post-merge-modifiers.js:161-201):
+    non-survivor distinguishing metadata (lang + capture year) folded
+    into the survivor as formatted, normalized-deduped notes."""
+    nonsurv = members.join(
+        survivors.select("cluster_id", "survivor_url", F.col("lang").alias("s_lang")),
+        "cluster_id",
+    ).filter(F.col("url") != F.col("survivor_url"))
+    notes = (
+        nonsurv.filter(F.col("lang") != F.col("s_lang"))
+        .select(
+            "cluster_id",
+            F.concat(
+                F.lit("Lisäpainokset: "),
+                F.col("lang"),
+                F.lit(" "),
+                F.year("warc_ts").cast("string"),
+                F.lit("."),
+            ).alias("note"),
+        )
+        .groupBy("cluster_id")
+        # dedup under the reference's \W-stripped normalizer
+        # (post-merge-modifiers.js:184-190)
+        .agg(F.sort_array(F.collect_set("note")).alias("raw_notes"))
+        .select(
+            "cluster_id",
+            F.array_distinct(
+                F.transform(
+                    "raw_notes", lambda n: F.regexp_replace(n, r"\W", "")
+                )
+            ).alias("note_keys"),
+            "raw_notes",
+        )
+    )
+    return survivors.join(notes, "cluster_id", "left").withColumn(
+        "notes", F.coalesce("raw_notes", F.array().cast("array<string>"))
+    ).drop("raw_notes", "note_keys")
+
+
+def normalize_authority_name(col):
+    """normalizeAuthorityQueryName (post-merge-modifiers.js:242-247):
+    strip [.,:-] → space, collapse runs, trim."""
+    return F.trim(F.regexp_replace(F.regexp_replace(col, "[.,:-]", " "), " +", " "))
+
+
+def apply_authorized_override(
+    survivors: DataFrame, authorized_names: DataFrame | None
+) -> DataFrame:
+    """updateMergedRecordWithAuthorizedFormat analogue
+    (post-merge-modifiers.js:203-240): broadcast semi-join against the
+    authorized-names side table; a matching canonical form overrides the
+    survivor's display host. Both-authorized conflicts become
+    `reject_reason` rows (quarantine) instead of aborting the job."""
+    host = F.regexp_extract("survivor_url", r"^https?://([^/]+)", 1)
+    out = survivors.withColumn("survivor_host", host).withColumn(
+        "survivor_host_norm", normalize_authority_name(host)
+    )
+    if authorized_names is None:
+        return out.withColumn("canonical_host", F.col("survivor_host")).withColumn(
+            "reject_reason", F.lit(None).cast("string")
+        )
+    auth = F.broadcast(
+        authorized_names.select(
+            F.col("name_normalized").alias("survivor_host_norm"),
+            F.col("canonical").alias("canonical_host"),
+        )
+    )
+    joined = out.join(auth, "survivor_host_norm", "left")
+    return joined.withColumn(
+        "canonical_host", F.coalesce("canonical_host", "survivor_host")
+    ).withColumn("reject_reason", F.lit(None).cast("string"))

@@ -1,0 +1,212 @@
+"""Pair verification (SURVEY.md §7 stage 5).
+
+Mirrors canMerge (lib/marc-record-merge-melindautils.js:74-120): every
+validator contributes zero or more reason strings to a `reasons` array
+column; a pair is mergeable iff the array is empty. Reason strings
+reproduce the reference messages byte-for-byte (incl. the 'have have'
+typo, mergeability-validators.js:60) because golden tests compare exact
+text. No short-circuiting — all reasons are always evaluated, like the
+reference's accumulate-then-join (marc-record-merge-melindautils.js:
+84-104,116-118).
+
+Scale notes: verification is a projection over the candidate-pair DF —
+the only joins are (1) two hash joins to attach per-url features (url is
+~unique ⇒ no skew) and (2) a broadcast anti/semi-join against the tiny
+host_ids side table (the rebuild of the per-record X-server RPC,
+mergeability-validators.js:215-219 — decorrelated into one broadcast).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from dedup.config import DedupConfig
+from dedup.rules import validate_fields_reasons
+
+MERGE_ERROR_PREFIX = "MergeValidationError: "
+
+
+def url_features(pages_with_norm: DataFrame, sources: DataFrame | None) -> DataFrame:
+    """Per-url feature table consumed by pair verification.
+
+    pages_with_norm: output of normalize.with_normalized (+ optional
+    `is_component` bool and rule-engine array columns).
+    sources: (url, source, source_local_id) side table; None ⇒ no
+    source-overlap guard.
+    """
+    cols = [
+        F.col("url"),
+        F.col("lang"),
+        F.col("has_diacritics"),
+        F.col("warc_ts"),
+        F.length("text").alias("text_len"),
+    ]
+    opt = [c for c in ("is_component",) if c in pages_with_norm.columns]
+    df = pages_with_norm.select(*cols, *opt)
+    if sources is not None:
+        agg = sources.groupBy("url").agg(
+            F.sort_array(F.collect_set("source")).alias("sources")
+        )
+        df = df.join(agg, "url", "left")
+    else:
+        df = df.withColumn("sources", F.array().cast("array<string>"))
+    return df.withColumn("sources", F.coalesce("sources", F.array().cast("array<string>")))
+
+
+def attach_features(candidates: DataFrame, features: DataFrame) -> DataFrame:
+    """candidates(url_a, url_b) ⨝ features twice → prefixed columns."""
+    fa = features.select([F.col(c).alias(f"a_{c}") for c in features.columns])
+    fb = features.select([F.col(c).alias(f"b_{c}") for c in features.columns])
+    return (
+        candidates.join(fa, candidates.url_a == fa.a_url, "left")
+        .drop("a_url")
+        .join(fb, candidates.url_b == fb.b_url, "left")
+        .drop("b_url")
+    )
+
+
+def _reason_when(cond: Column, msg: Column) -> Column:
+    return F.when(cond, F.array(msg)).otherwise(F.array().cast("array<string>"))
+
+
+def pair_reasons(
+    pairs: DataFrame,
+    cfg: DedupConfig,
+    host_ids: DataFrame | None = None,
+    rule_columns: dict[str, tuple[str, str]] | None = None,
+) -> DataFrame:
+    """Adds `reasons: array<string>` + `can_merge: boolean`.
+
+    pairs must carry the a_/b_ prefixed feature columns from
+    attach_features. In a pair, side `b` plays "other" and side `a`
+    plays "preferred" (a = lexicographically-smaller url, the merge
+    base by convention; survivor selection later re-decides).
+    """
+    parts: list[Column] = []
+
+    # noSameLOWTags (mergeability-validators.js:52-67) — one reason per
+    # overlapping source, message verbatim incl. the reference's typo.
+    overlap = F.array_intersect("b_sources", "a_sources")
+    parts.append(
+        F.transform(
+            overlap, lambda s: F.concat(F.lit("Both records have have LOW tag: "), s)
+        )
+    )
+
+    # sameType (mergeability-validators.js:82-92) — leader/6 byte becomes
+    # the page language/content-type gate.
+    parts.append(
+        _reason_when(
+            F.col("b_lang") != F.col("a_lang"),
+            F.concat(
+                F.lit("Records are of different type (leader/6): "),
+                F.col("b_lang"),
+                F.lit(" - "),
+                F.col("a_lang"),
+            ),
+        )
+    )
+
+    # checkDiacriticsFromTitle (mergeability-validators.js:109-114 via
+    # record-utils.js:349-362): other has diacritics, preferred hasn't.
+    parts.append(
+        _reason_when(
+            F.col("b_has_diacritics") & ~F.col("a_has_diacritics"),
+            F.lit("Other fields has diacritics in field: text"),
+        )
+    )
+
+    # notComponentRecord (mergeability-validators.js:237-252)
+    if "a_is_component" in pairs.columns:
+        parts.append(
+            _reason_when(
+                F.col("b_is_component"),
+                F.concat(F.lit("record is a component record: "), F.col("url_b")),
+            )
+        )
+        parts.append(
+            _reason_when(
+                F.col("a_is_component"),
+                F.concat(F.lit("record is a component record: "), F.col("url_a")),
+            )
+        )
+
+    # notHostRecord (mergeability-validators.js:180-203): per-record RPC
+    # replaced by one broadcast membership check.
+    df = pairs
+    if host_ids is not None:
+        hosts = F.broadcast(
+            host_ids.select(F.col("url").alias("host_url")).distinct()
+        )
+        df = (
+            df.join(hosts, df.url_b == hosts.host_url, "left")
+            .withColumn("b_is_host", F.col("host_url").isNotNull())
+            .drop("host_url")
+            .join(hosts, df.url_a == hosts.host_url, "left")
+            .withColumn("a_is_host", F.col("host_url").isNotNull())
+            .drop("host_url")
+        )
+        parts.append(
+            _reason_when(
+                F.col("b_is_host"),
+                F.concat(F.lit("record is a host record: "), F.col("url_b")),
+            )
+        )
+        parts.append(
+            _reason_when(
+                F.col("a_is_host"),
+                F.concat(F.lit("record is a host record: "), F.col("url_a")),
+            )
+        )
+
+    # checkFieldRequirements (mergeability-validators.js:101-107) via the
+    # validate-fields rule engine on configured pair array columns.
+    if rule_columns:
+        other_cols = {t: F.col(b) for t, (_, b) in rule_columns.items()}
+        pref_cols = {t: F.col(a) for t, (a, _) in rule_columns.items()}
+        cfg_rules = {t: cfg.field_rules[t] for t in rule_columns}
+        parts.append(validate_fields_reasons(cfg_rules, other_cols, pref_cols))
+
+    reasons = parts[0]
+    for p in parts[1:]:
+        reasons = F.concat(reasons, p)
+    return df.withColumn("reasons", reasons).withColumn(
+        "can_merge", F.size("reasons") == 0
+    )
+
+
+def jaccard_on_pairs(candidates: DataFrame, shingle_sets: DataFrame) -> DataFrame:
+    """Exact Jaccard over distinct-shingle sets for candidate pairs
+    (SURVEY.md §2.3.1 — normalized multiset containment degraded to set
+    semantics on hashed shingles)."""
+    sa = shingle_sets.select(
+        F.col("url").alias("url_a"), F.col("shingles").alias("sh_a")
+    )
+    sb = shingle_sets.select(
+        F.col("url").alias("url_b"), F.col("shingles").alias("sh_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    uni = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        candidates.join(sa, "url_a")
+        .join(sb, "url_b")
+        .withColumn(
+            "jaccard",
+            F.when(uni > 0, inter.cast("double") / uni.cast("double")).otherwise(
+                F.lit(0.0)
+            ),
+        )
+        .drop("sh_a", "sh_b")
+    )
+
+
+def verified_edges(
+    pairs_with_jaccard_and_reasons: DataFrame, cfg: DedupConfig, channel: str
+) -> DataFrame:
+    """Edges kept iff similarity passes AND no validator objected."""
+    return (
+        pairs_with_jaccard_and_reasons.filter(
+            (F.col("jaccard") >= F.lit(cfg.jaccard_threshold)) & F.col("can_merge")
+        )
+        .select("url_a", "url_b", "jaccard", F.lit(channel).alias("channel"))
+    )
