@@ -165,7 +165,9 @@ def generate_corpus(
             cluster += 1
         elif kind == "quarantine":
             mode = int(rng.integers(0, 3))
-            qtext = ["", "^^truncated " + text[:40], "noindex " + text[:40]][mode]
+            # keep text a fixed point of extraction (whitespace-normal)
+            qtext = ["", "^^truncated " + text[:40].strip(),
+                     "noindex " + text[:40].strip()][mode]
             emit(qtext, lang, cluster, "quarantine", [bsrc], 0)
             cluster += 1
 

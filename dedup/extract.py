@@ -1,0 +1,67 @@
+"""html → text extraction (SURVEY.md §7 stage 2).
+
+Arrow-vectorized scalar pandas UDF over the `html` binary column. Per
+BASELINE.json input_hint the invariant is: extracted text is
+byte-identical per url to the table's `text` column. The extractor is
+deterministic — a tag-stripping state machine with entity decoding —
+and for corpus-generated wrappers it is an exact inverse of generation
+(unit-tested byte equality).
+
+Scale notes: this is the ONLY stage that reads the (wide) html column;
+it runs first and everything downstream selects text-derived columns
+only, so Catalyst's column pruning keeps the binary payload out of
+every later scan/shuffle.
+"""
+
+from __future__ import annotations
+
+import html as _htmllib
+import re
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F, types as T
+
+_TAG_RE = re.compile(rb"<[^>]*>")
+_WS_RE = re.compile(r"\s+")
+
+# block-level tags whose boundaries imply whitespace
+_BLOCK_RE = re.compile(
+    rb"</?(p|div|br|li|ul|ol|h[1-6]|tr|td|table|section|article|header|"
+    rb"footer|blockquote)[^>]*>",
+    re.IGNORECASE,
+)
+_DROP_RE = re.compile(
+    rb"<(script|style|noscript)[^>]*>.*?</\1>", re.IGNORECASE | re.DOTALL
+)
+
+
+def extract_text_bytes(payload: bytes | None) -> str | None:
+    """Deterministic extraction: drop script/style, tags → boundaries,
+    entity-decode, collapse whitespace."""
+    if payload is None:
+        return None
+    b = _DROP_RE.sub(b" ", payload)
+    b = _BLOCK_RE.sub(b" ", b)
+    b = _TAG_RE.sub(b"", b)
+    s = b.decode("utf-8", "replace")
+    s = _htmllib.unescape(s)
+    return _WS_RE.sub(" ", s).strip()
+
+
+@F.pandas_udf(T.StringType())
+def extract_text_udf(html_col: pd.Series) -> pd.Series:
+    return html_col.map(extract_text_bytes)
+
+
+def with_extracted_text(pages: DataFrame, out_col: str = "extracted_text") -> DataFrame:
+    return pages.withColumn(out_col, extract_text_udf(F.col("html")))
+
+
+def extraction_mismatches(pages: DataFrame) -> DataFrame:
+    """Rows violating the byte-identical-per-url invariant — must be
+    empty on any corpus whose html wraps text deterministically."""
+    df = with_extracted_text(pages)
+    return df.filter(
+        F.coalesce(F.col("extracted_text"), F.lit(""))
+        != F.coalesce(F.col("text"), F.lit(""))
+    ).select("url", "text", "extracted_text")

@@ -55,6 +55,7 @@ def run_dedup(
     bypass_jaccard_channels: list[DataFrame] | None = None,
     run_id: str = "run-0",
     run_ts: str = "1970-01-01T00:00:00+00:00",
+    persist: bool = True,
 ) -> DedupResult:
     """Compose the full pipeline.
 
@@ -67,8 +68,15 @@ def run_dedup(
       containment) — they skip the Jaccard threshold but still pass the
       reason gates (source overlap / type / diacritics / host...).
     """
+    from pyspark import StorageLevel
+
     norm = with_normalized(pages)
     clean = quarantine_filter(norm)
+    if persist:
+        # clean feeds exact-grouping, signatures, features and members —
+        # without a persist every downstream action re-scans + re-derives.
+        # On a real cluster this is the natural stage-checkpoint point.
+        clean = clean.persist(StorageLevel.MEMORY_AND_DISK)
     quarantined = norm.join(clean.select("url"), "url", "left_anti")
 
     # exact pre-dedup: one signature per distinct normalized text
@@ -78,6 +86,10 @@ def run_dedup(
 
     # signatures + LSH candidates (representatives only)
     sigs = signatures(rep_pages, cfg)
+    if persist:
+        # sigs feed banding AND pair-verification joins (twice each):
+        # persist the narrow (url, shingles, sig) projection only
+        sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
     bands = explode_bands(sigs, cfg)
     raw_candidates, hot = lsh_candidates(bands, cfg)
 

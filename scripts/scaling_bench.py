@@ -1,0 +1,100 @@
+"""Scaling-efficiency evidence (north_rule two-cluster-size criterion).
+
+Runs the identical fast-mode dedup job on the identical synthetic input
+at two parallelism levels (local[8] and local[32] — the sandbox stand-in
+for N vs 4N executors), reports throughput at both plus scaling
+efficiency, and asserts the outputs are identical (order-insensitive).
+
+    python scripts/scaling_bench.py [--docs 30000] [--low 8] [--high 32]
+
+Each run happens in a fresh subprocess (one JVM per master setting).
+Writes JSON to stdout and BENCH_SCALING.json at the repo root.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_RUN_SNIPPET = r"""
+import json, sys, time
+sys.path.insert(0, {repo!r})
+from pyspark.sql import functions as F
+from dedup.session import get_spark
+from dedup.config import DedupConfig
+from dedup.corpus import corpus_dataframes
+from dedup.pipeline import run_dedup
+
+n_docs, cores = {docs}, {cores}
+spark = get_spark("scaling-{cores}", master=f"local[{cores}]",
+                  shuffle_partitions={cores})
+cfg = DedupConfig()
+pages, _t, sources = corpus_dataframes(spark, n_docs, seed=42)
+pages = pages.repartition({cores}).persist()
+n = pages.count()  # materialize input before the clock starts
+t0 = time.time()
+res = run_dedup(pages, cfg, sources=sources)
+# one action drives the whole DAG; fingerprint = order-insensitive hash
+row = res.assignments.agg(
+    F.count(F.lit(1)).alias("n"),
+    F.bit_xor(F.xxhash64("url", "cluster_id")).alias("h"),
+).collect()[0]
+wall = time.time() - t0
+n_clusters = res.survivors.count()
+print(json.dumps({{"cores": cores, "docs": n, "wall_s": wall,
+                  "docs_per_sec": n / wall, "assign_rows": row["n"],
+                  "assign_hash": row["h"], "clusters": n_clusters}}))
+spark.stop()
+"""
+
+
+def run_once(docs: int, cores: int) -> dict:
+    code = _RUN_SNIPPET.format(repo=REPO, docs=docs, cores=cores)
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=3600,
+    )
+    if out.returncode != 0:
+        sys.stderr.write(out.stderr[-4000:])
+        raise RuntimeError(f"run cores={cores} failed")
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=30000)
+    ap.add_argument("--low", type=int, default=8)
+    ap.add_argument("--high", type=int, default=32)
+    args = ap.parse_args()
+
+    low = run_once(args.docs, args.low)
+    high = run_once(args.docs, args.high)
+    assert low["assign_rows"] == high["assign_rows"], "row count mismatch"
+    assert low["assign_hash"] == high["assign_hash"], (
+        "outputs differ between parallelism levels"
+    )
+    speedup = high["docs_per_sec"] / low["docs_per_sec"]
+    ideal = args.high / args.low
+    eff = speedup / ideal
+    report = {
+        "docs": args.docs,
+        "low": low,
+        "high": high,
+        "speedup": round(speedup, 3),
+        "ideal_speedup": ideal,
+        "scaling_efficiency": round(eff, 3),
+        "outputs_identical": True,
+    }
+    print(json.dumps(report, indent=2))
+    with open(os.path.join(REPO, "BENCH_SCALING.json"), "w") as f:
+        json.dump(report, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,81 @@
+"""Checkpoint/resume (SURVEY.md §5 item 4): kill after stage k (drop
+manifest entries), rerun, assert identical final output and that
+completed stages are skipped (their snapshots are read, not recomputed)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from dedup.checkpoint import CheckpointStore
+
+ORDER = ["clean", "edges", "assignments", "survivors"]
+
+
+def test_write_read_roundtrip(spark, tmp_path):
+    store = CheckpointStore(str(tmp_path), run_id="t1")
+    df = spark.range(100).withColumn("x", F.col("id") * 2)
+    out = store.write_stage("clean", df)
+    assert store.completed("clean")
+    assert out.count() == 100
+    got = store.read_stage(spark, "clean")
+    assert sorted(r["x"] for r in got.collect()) == [i * 2 for i in range(100)]
+
+
+def test_completed_stage_not_recomputed(spark, tmp_path):
+    store = CheckpointStore(str(tmp_path), run_id="t2")
+    df1 = spark.range(10).withColumn("x", F.lit("first"))
+    store.write_stage("edges", df1)
+    # a rerun presents DIFFERENT upstream data; the completed stage must
+    # return the snapshot, proving it skipped recomputation
+    df2 = spark.range(10).withColumn("x", F.lit("second"))
+    out = store.write_stage("edges", df2)
+    assert {r["x"] for r in out.collect()} == {"first"}
+
+
+def test_invalidate_from_reruns_suffix(spark, tmp_path):
+    store = CheckpointStore(str(tmp_path), run_id="t3")
+    for s in ORDER:
+        store.write_stage(s, spark.range(5).withColumn("stage", F.lit(s)))
+    assert all(store.completed(s) for s in ORDER)
+    # simulate a kill after stage 2: drop 'assignments' onwards
+    store.invalidate_from("assignments", ORDER)
+    assert store.completed("clean") and store.completed("edges")
+    assert not store.completed("assignments")
+    assert not store.completed("survivors")
+    # rerun writes the suffix again
+    out = store.write_stage(
+        "assignments", spark.range(7).withColumn("stage", F.lit("assignments"))
+    )
+    assert out.count() == 7
+
+
+def test_end_to_end_resume_identical_output(spark, tmp_path):
+    """Full pipeline, interrupted and resumed → byte-identical clusters."""
+    from dedup.config import DedupConfig
+    from dedup.corpus import corpus_dataframes
+    from dedup.pipeline import run_dedup
+
+    cfg = DedupConfig()
+    pages, _t, sources = corpus_dataframes(spark, n_docs=300, seed=42)
+    res = run_dedup(pages, cfg, sources=sources)
+
+    store = CheckpointStore(str(tmp_path), run_id="t4")
+    store.write_stage("edges", res.edges)
+    first_assign = store.write_stage("assignments", res.assignments)
+    # snapshot values BEFORE the stage path is overwritten by the rerun
+    a = {(r["url"], r["cluster_id"]) for r in first_assign.collect()}
+
+    # "crash" after edges: invalidate assignments, resume from snapshot
+    store.invalidate_from("assignments", ORDER)
+    from dedup.cluster import assignments_with_singletons, connected_components
+
+    resumed_edges = store.read_stage(spark, "edges")
+    assign2 = assignments_with_singletons(
+        connected_components(resumed_edges), res.clean.select("url")
+    )
+    second_assign = store.write_stage("assignments", assign2)
+    b = {(r["url"], r["cluster_id"]) for r in second_assign.collect()}
+    assert a == b
