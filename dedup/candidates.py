@@ -69,10 +69,14 @@ def pairs_from_buckets(
     (pairs, hot_buckets) with pairs = distinct (url_a < url_b) and
     hot_buckets = (key_cols..., bucket_size) rows that took the star
     path (skew lineage for metrics)."""
-    sizes = bucketed.groupBy(*key_cols).agg(
-        F.count_distinct("url").alias("bucket_size")
-    )
-    tagged = bucketed.join(sizes, key_cols)
+    from pyspark.sql import Window
+
+    # ONE shuffle: hash-partition by bucket key, then window count +
+    # window min reuse that partitioning (no groupBy+join round-trips).
+    # Rows are unique per (key, url) by construction upstream (bands /
+    # fingerprints are emitted distinct), so count(*) == distinct urls.
+    w = Window.partitionBy(*key_cols)
+    tagged = bucketed.withColumn("bucket_size", F.count(F.lit(1)).over(w))
 
     # --- sub-cap buckets: full pair expansion over bounded arrays -----
     small = (
@@ -97,10 +101,10 @@ def pairs_from_buckets(
     )
 
     # --- over-cap buckets: star pairs around the bucket minimum ------
+    # window min reuses the same partitioning — no extra shuffle
     hot_rows = tagged.filter(F.col("bucket_size") > cfg.max_bucket_size)
-    hubs = hot_rows.groupBy(*key_cols).agg(F.min("url").alias("hub_url"))
     star_pairs = (
-        hot_rows.join(hubs, key_cols)
+        hot_rows.withColumn("hub_url", F.min("url").over(w))
         .filter(F.col("url") != F.col("hub_url"))
         .select(
             F.col("hub_url").alias("url_a"), F.col("url").alias("url_b")
@@ -108,7 +112,10 @@ def pairs_from_buckets(
     )
 
     pairs = small_pairs.unionByName(star_pairs).distinct()
-    hot = sizes.filter(F.col("bucket_size") > cfg.max_bucket_size)
+    hot = (
+        hot_rows.groupBy(*key_cols)
+        .agg(F.max("bucket_size").alias("bucket_size"))
+    )
     return pairs, hot
 
 

@@ -25,19 +25,17 @@ def _undirect(edges: DataFrame) -> DataFrame:
     )
 
 
-def _min_neighbor(e2: DataFrame) -> DataFrame:
-    """m(u) = min(Γ(u) ∪ {u}) per node, from the bidirectional edge list."""
-    return e2.groupBy("u").agg(
-        F.least(F.min("v"), F.first("u")).alias("m")
-    )
-
-
 def _large_star(e2: DataFrame) -> DataFrame:
-    """Connect every strictly-larger neighbor to m(u)."""
-    m = _min_neighbor(e2)
+    """Connect every strictly-larger neighbor to m(u) = min(Γ(u) ∪ {u}).
+
+    Window formulation: ONE shuffle (hash by u) computes the per-node
+    min in place — no groupBy + self-join round trip."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("u")
+    with_m = e2.withColumn("m", F.least(F.min("v").over(w), F.col("u")))
     return (
-        e2.join(m, "u")
-        .filter(F.col("v") > F.col("u"))
+        with_m.filter(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
@@ -45,13 +43,15 @@ def _large_star(e2: DataFrame) -> DataFrame:
 
 
 def _small_star(e2: DataFrame) -> DataFrame:
-    """Connect every smaller-or-equal neighbor (and u itself) to the min."""
+    """Connect every smaller neighbor (and u itself) to the min."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("u")
     le = e2.filter(F.col("v") < F.col("u"))
-    m = le.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+    with_m = le.withColumn("m", F.least(F.min("v").over(w), F.col("u")))
     out = (
-        le.join(m, "u")
-        .select(F.col("v").alias("u"), F.col("m").alias("v"))
-        .union(m.select(F.col("u"), F.col("m").alias("v")))
+        with_m.select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .union(with_m.select(F.col("u"), F.col("m").alias("v")))
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
@@ -67,7 +67,7 @@ def _fingerprint(e2: DataFrame) -> tuple[int, int]:
 
 
 def connected_components(
-    edges: DataFrame, max_iterations: int = 25
+    edges: DataFrame, max_iterations: int = 25, verbose: bool = False
 ) -> DataFrame:
     """edges(url_a, url_b) → assignments(url, cluster_id).
 
@@ -75,10 +75,15 @@ def connected_components(
     the reference's canonical field ordering guarantees
     (lib/record-utils.js:116-131).
     """
-    spark = edges.sparkSession
+    import time
+
+    t0 = time.time()
     e2 = _undirect(edges).localCheckpoint(eager=True)
     prev = _fingerprint(e2)
-    for _ in range(max_iterations):
+    if verbose:
+        print(f"[cc] init: {time.time() - t0:.1f}s fp={prev}")
+    for it in range(max_iterations):
+        t = time.time()
         after_large = _undirect(
             _large_star(e2).select(
                 F.col("u").alias("url_a"), F.col("v").alias("url_b")
@@ -89,6 +94,8 @@ def connected_components(
             after_small.select(F.col("u").alias("url_a"), F.col("v").alias("url_b"))
         ).localCheckpoint(eager=True)
         cur = _fingerprint(e2)
+        if verbose:
+            print(f"[cc] iter {it}: {time.time() - t:.1f}s fp={cur}")
         if cur == prev:
             break
         prev = cur

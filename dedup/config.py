@@ -37,6 +37,9 @@ class DedupConfig:
     rows_per_band: int = 4      # LSH rows r  (b*r == num_perm)
     seed: int = 42
 
+    # fast-mode shingle hash width: 31 (int, half the join bytes) or 64
+    shingle_hash_bits: int = 31
+
     # hash_mode:
     #   "fast"     — JVM xxhash64 shingle hashes + numpy splitmix64
     #                permutations (production path)
@@ -52,6 +55,12 @@ class DedupConfig:
 
     # --- verification ----------------------------------------------
     jaccard_threshold: float = 0.80   # north_rule minimum-slice threshold
+    # MinHash-agreement pre-filter before the exact-Jaccard join (fast
+    # mode only): floor 0.5 at num_perm=128 loses true >=0.8 pairs with
+    # probability < 1e-12 while pruning sub-threshold boilerplate pairs
+    # before the wide shingle-array shuffle.
+    estimate_prefilter: bool = True
+    estimate_floor: float = 0.5
 
     # --- SimHash channel -------------------------------------------
     simhash_bits: int = 64
@@ -64,7 +73,14 @@ class DedupConfig:
     substring_min_shared: int = 2     # shared fingerprints to become candidate
 
     # --- skew / scale hygiene --------------------------------------
-    max_bucket_size: int = 64         # LSH band bucket cap (hot-bucket guard)
+    # LSH band bucket cap: buckets above this switch to O(m) star pairs.
+    # 16 keeps worst-case per-bucket expansion at 120 pairs; genuine
+    # mega-clusters keep recall through the star hub (and a true ≥0.8
+    # pair collides in ~13 of 32 bands, so losing one bucket's full
+    # expansion costs nothing), while boilerplate floods stop inflating
+    # the verification join (measured: cap 64 → 1.68M candidates on a
+    # 200k corpus, mostly sub-threshold boilerplate).
+    max_bucket_size: int = 16
     shuffle_partitions: int = 32
 
     # --- survivor selection ----------------------------------------

@@ -433,6 +433,34 @@ def q_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_simhash_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable SimHash bit votes: for each url and bit 0..63, the
+    vote margin over distinct h60 token hashes and the resulting bit.
+    The production 64-bit fingerprint (dedup/simhash.py numpy UDF) packs
+    exactly these bits; tests/test_kernels cross-checks the two."""
+    from dedup.simhash import token_hashes_expr
+
+    clean = _clean(spark, sf_dir)
+    toks = clean.select(
+        "url", F.explode(token_hashes_expr(F.col("norm_text"), CFG)).alias("th")
+    ).distinct()
+    bits = spark.range(64).select(F.col("id").cast("int").alias("bit"))
+    # SQL form: the DataFrame helper requires a literal shift amount,
+    # the SQL function accepts a column
+    vote = F.sum(F.expr("(shiftrightunsigned(th, bit) & 1) * 2 - 1"))
+    return (
+        toks.crossJoin(F.broadcast(bits))
+        .groupBy("url", "bit")
+        .agg(vote.cast("long").alias("vote"))
+        .select(
+            "url",
+            F.col("bit").cast("long").alias("bit"),
+            "vote",
+            (F.col("vote") > 0).cast("int").alias("bit_value"),
+        )
+    )
+
+
 def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") < 10).select(
@@ -462,6 +490,7 @@ QUERIES = {
     "quality_features": q_quality,
     "doc_fingerprint": q_fingerprint,
     "substring_containment": q_substring_pairs,
+    "simhash_bits": q_simhash_bits,
     "knn_cosine_topk": q_knn_cosine,
 }
 
@@ -656,6 +685,20 @@ FROM clean a JOIN clean b
   ON a.url <> b.url
  AND length(a.norm_text) < length(b.norm_text)
  AND position(a.norm_text IN b.norm_text) > 0
+"""
+
+ORACLES["simhash_bits"] = f"""
+WITH {_PAGES_CTE.strip()}, {_NORM_CTE.strip()}, {_CLEAN_CTE.strip()},
+toks AS (
+  SELECT DISTINCT url, {_h60("tok")} AS th
+  FROM (SELECT url, unnest(string_split(norm_text, ' ')) AS tok FROM clean)
+),
+bits AS (SELECT unnest(range(0, 64))::INT AS bit)
+SELECT t.url, b.bit::BIGINT AS bit,
+       sum(((t.th >> b.bit) & 1) * 2 - 1)::BIGINT AS vote,
+       (sum(((t.th >> b.bit) & 1) * 2 - 1) > 0)::INT AS bit_value
+FROM toks t CROSS JOIN bits b
+GROUP BY t.url, b.bit
 """
 
 ORACLES["knn_cosine_topk"] = """

@@ -70,3 +70,22 @@ def minhash_rows(hash_matrix: np.ndarray, seeds: np.ndarray) -> np.ndarray:
     # hash_matrix: (n_shingles,) uint64; seeds: (num_perm,) uint64
     mixed = splitmix64(hash_matrix[None, :] ^ seeds[:, None])  # (p, n)
     return mixed.min(axis=1).astype(np.int64)
+
+
+def minhash_batch(
+    concat_hashes: np.ndarray, offsets: np.ndarray, seeds: np.ndarray
+) -> np.ndarray:
+    """Batched MinHash: one segmented-min pass per seed over the whole
+    Arrow batch (np.minimum.reduceat), instead of a (num_perm × n)
+    matrix allocation per document. Returns (n_docs, num_perm) int64.
+
+    concat_hashes: all docs' shingle hashes concatenated (uint64);
+    offsets: start index of each doc's segment (len == n_docs, offsets[0]==0).
+    Empty batches are the caller's responsibility (reduceat needs data).
+    """
+    n_docs = len(offsets)
+    out = np.empty((n_docs, len(seeds)), dtype=np.int64)
+    for j, seed in enumerate(seeds):
+        mixed = splitmix64(concat_hashes ^ seed)
+        out[:, j] = np.minimum.reduceat(mixed, offsets).astype(np.int64)
+    return out

@@ -45,9 +45,21 @@ def distinct_shingle_hashes(norm_col: Column, cfg: DedupConfig) -> Column:
     sh = shingles_expr(norm_col, cfg.k_shingle)
     if cfg.hash_mode == "portable":
         hashed = F.transform(sh, h60)
+    elif cfg.shingle_hash_bits == 31:
+        # 31-bit shingle hashes in fast mode: halves the bytes moved by
+        # the exact-Jaccard join and the in-memory set ops; collision
+        # probability within a doc pair (~400²/2 / 2³¹) ≈ 4e-5 — noise
+        # well below the MinHash estimator's own variance. Masked before
+        # the cast (ANSI mode rejects overflowing casts).
+        hashed = F.transform(
+            sh,
+            lambda s: F.xxhash64(s).bitwiseAND(F.lit(0x7FFFFFFF)).cast("int"),
+        )
     else:
         hashed = F.transform(sh, lambda s: F.xxhash64(s))
-    return F.array_sort(F.array_distinct(hashed))
+    # every consumer (min-over-permutations, array_intersect, min/max
+    # fingerprint) is order-insensitive — no sort needed
+    return F.array_distinct(hashed)
 
 
 def with_shingles(pages: DataFrame, cfg: DedupConfig) -> DataFrame:
@@ -63,13 +75,29 @@ def _fast_signature_udf(cfg: DedupConfig):
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def sig(shingle_hashes: pd.Series) -> pd.Series:
-        out = []
-        for arr in shingle_hashes:
-            if arr is None or len(arr) == 0:
+        from dedup.hashing import minhash_batch
+
+        arrs = [
+            np.asarray(a, dtype=np.int64).view(np.uint64)
+            if a is not None and len(a) > 0
+            else None
+            for a in shingle_hashes
+        ]
+        nonempty = [a for a in arrs if a is not None]
+        if not nonempty:
+            return pd.Series([None] * len(arrs))
+        concat = np.concatenate(nonempty)
+        lens = np.fromiter((len(a) for a in nonempty), dtype=np.int64)
+        offsets = np.zeros(len(nonempty), dtype=np.int64)
+        np.cumsum(lens[:-1], out=offsets[1:])
+        sigs = minhash_batch(concat, offsets, seeds)  # (n, num_perm)
+        out, k = [], 0
+        for a in arrs:
+            if a is None:
                 out.append(None)
-                continue
-            x = np.asarray(arr, dtype=np.int64).view(np.uint64)
-            out.append(minhash_rows(x, seeds))
+            else:
+                out.append(sigs[k])
+                k += 1
         return pd.Series(out)
 
     return sig

@@ -72,6 +72,10 @@ def run_dedup(
 
     norm = with_normalized(pages)
     clean = quarantine_filter(norm)
+    # the binary payload is never used past normalization — keep it out
+    # of the persisted working set and every downstream shuffle
+    if "html" in clean.columns:
+        clean = clean.drop("html")
     if persist:
         # clean feeds exact-grouping, signatures, features and members —
         # without a persist every downstream action re-scans + re-derives.
@@ -102,6 +106,14 @@ def run_dedup(
     all_candidates = all_candidates.distinct()
 
     feats = url_features(clean, sources)
+    if cfg.estimate_prefilter and cfg.hash_mode == "fast":
+        # MinHash-estimate pre-filter: ship only the (num_perm × 8B)
+        # signature through the first join and drop candidates whose
+        # estimated Jaccard can't plausibly reach the threshold
+        # (P[Binomial(128, 0.8) < 0.5·128] < 1e-12). The exact-Jaccard
+        # join then ships the (much wider) shingle arrays for the
+        # surviving ~5-10% only.
+        all_candidates = _estimate_filter(all_candidates, sigs, groups, cfg)
     with_j = _jaccard_incl_exact(all_candidates, sigs, groups)
     pairs = attach_features(with_j, feats)
     pairs = pair_reasons(pairs, cfg, host_ids)
@@ -120,6 +132,13 @@ def run_dedup(
         edges = edges.unionByName(bedges)
 
     edges = edges.select("url_a", "url_b").distinct()
+    if persist:
+        # materialize + truncate lineage BEFORE the CC loop: Spark 4.1's
+        # cache substitution misses this lambda-heavy plan when embedded
+        # as a subtree (observed: the CC init re-ran the whole verify
+        # chain despite a warm edge cache), and every CC action would
+        # otherwise replay candidate generation + verification.
+        edges = edges.localCheckpoint(eager=True)
 
     assign = connected_components(edges)
     assign = assignments_with_singletons(assign, clean.select("url"))
@@ -140,6 +159,32 @@ def run_dedup(
         edges=edges,
         assignments=assign,
         survivors=survivors,
+    )
+
+
+def _estimate_filter(
+    candidates: DataFrame, sigs: DataFrame, groups: DataFrame, cfg: DedupConfig
+) -> DataFrame:
+    """Keep candidate pairs whose signature-agreement estimate is at
+    least `estimate_floor` (exact-dup pairs map to identical reps and
+    trivially survive)."""
+    url_to_rep = groups.select("url", "rep_url")
+    rep_sig = sigs.select(F.col("url").alias("rep_url"), "sig")
+    s = url_to_rep.join(rep_sig, "rep_url").select("url", "sig")
+    sa = s.select(F.col("url").alias("url_a"), F.col("sig").alias("sig_a"))
+    sb = s.select(F.col("url").alias("url_b"), F.col("sig").alias("sig_b"))
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    )
+    est = agree.cast("double") / F.size("sig_a").cast("double")
+    return (
+        candidates.join(sa, "url_a")
+        .join(sb, "url_b")
+        .filter(est >= F.lit(cfg.estimate_floor))
+        .select("url_a", "url_b")
     )
 
 

@@ -26,6 +26,12 @@ def get_spark(
         n = master.split("[")[-1].rstrip("]") if "[" in master else "32"
         shuffle_partitions = 32 if n == "*" else max(int(n), 4)
 
+    # shuffle spill dirs: local-mode shuffles are disk-bound on slow /tmp;
+    # prefer a RAM-backed dir when present (on a real cluster this is the
+    # NVMe-backed spark.local.dir the platform provisions)
+    local_dir = os.environ.get("DEDUP_LOCAL_DIR")
+    if local_dir is None and os.path.isdir("/dev/shm"):
+        local_dir = "/dev/shm/spark-local"
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -36,10 +42,13 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        .config("spark.driver.memory", os.environ.get("DEDUP_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("DEDUP_DRIVER_MEM", "32g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    if local_dir:
+        os.makedirs(local_dir, exist_ok=True)
+        builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

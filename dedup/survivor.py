@@ -105,6 +105,9 @@ def select_survivors(
             F.lit("DEDUP").alias("agency"),
         ),
     )
+    # serialized form for sinks that want a flat audit column (the 583
+    # field is one formatted string in the reference)
+    out = out.withColumn("lineage_json", F.to_json(F.col("lineage")))
     return out
 
 
@@ -149,35 +152,88 @@ def reprint_notes(
     ).drop("raw_notes", "note_keys")
 
 
+def format_date_iso(col) -> "F.Column":
+    """formatDate (record-utils.js:133-153): ISO-8601 with numeric
+    offset, zero-padded — `yyyy-MM-dd'T'HH:mm:ssxxx` renders e.g.
+    2024-01-01T12:00:00+00:00 under the session timezone (pipeline runs
+    UTC; the reference used the host's local offset)."""
+    return F.date_format(col, "yyyy-MM-dd'T'HH:mm:ssxxx")
+
+
 def normalize_authority_name(col):
     """normalizeAuthorityQueryName (post-merge-modifiers.js:242-247):
     strip [.,:-] → space, collapse runs, trim."""
     return F.trim(F.regexp_replace(F.regexp_replace(col, "[.,:-]", " "), " +", " "))
 
 
+def url_host(col) -> "F.Column":
+    return F.regexp_extract(col, r"^https?://([^/]+)", 1)
+
+
 def apply_authorized_override(
-    survivors: DataFrame, authorized_names: DataFrame | None
+    survivors: DataFrame,
+    members: DataFrame,
+    authorized_names: DataFrame | None,
 ) -> DataFrame:
     """updateMergedRecordWithAuthorizedFormat analogue
-    (post-merge-modifiers.js:203-240): broadcast semi-join against the
-    authorized-names side table; a matching canonical form overrides the
-    survivor's display host. Both-authorized conflicts become
-    `reject_reason` rows (quarantine) instead of aborting the job."""
-    host = F.regexp_extract("survivor_url", r"^https?://([^/]+)", 1)
-    out = survivors.withColumn("survivor_host", host).withColumn(
-        "survivor_host_norm", normalize_authority_name(host)
-    )
+    (post-merge-modifiers.js:203-240).
+
+    Per cluster: every member's display host is looked up (broadcast
+    semi-join on the normalized form — authorInAuthorizedFormat,
+    post-merge-modifiers.js:251-264). If the survivor's host is already
+    authorized it stays. If exactly one distinct authorized canonical
+    exists among the other members, it overrides the survivor's
+    canonical_host (the other record's heading replaces the survivor's,
+    :225-236). Two or more distinct authorized forms ⇒
+    `reject_reason = 'Both records are in authorized format.'` — routed
+    to quarantine instead of aborting the job (:221-223).
+    """
+    host = url_host(F.col("survivor_url"))
+    out = survivors.withColumn("survivor_host", host)
     if authorized_names is None:
         return out.withColumn("canonical_host", F.col("survivor_host")).withColumn(
             "reject_reason", F.lit(None).cast("string")
         )
     auth = F.broadcast(
         authorized_names.select(
-            F.col("name_normalized").alias("survivor_host_norm"),
-            F.col("canonical").alias("canonical_host"),
+            F.col("name_normalized").alias("host_norm"),
+            F.col("canonical").alias("auth_canonical"),
+        ).distinct()
+    )
+    mhosts = members.select(
+        "cluster_id",
+        normalize_authority_name(url_host(F.col("url"))).alias("host_norm"),
+    ).distinct()
+    cluster_auth = (
+        mhosts.join(auth, "host_norm")
+        .groupBy("cluster_id")
+        .agg(
+            F.count_distinct("auth_canonical").alias("n_authorized"),
+            F.min("auth_canonical").alias("authorized_canonical"),
         )
     )
-    joined = out.join(auth, "survivor_host_norm", "left")
-    return joined.withColumn(
-        "canonical_host", F.coalesce("canonical_host", "survivor_host")
-    ).withColumn("reject_reason", F.lit(None).cast("string"))
+    joined = out.join(cluster_auth, "cluster_id", "left")
+    surv_norm = normalize_authority_name(F.col("survivor_host"))
+    surv_is_auth = F.col("authorized_canonical").isNotNull() & (
+        surv_norm == normalize_authority_name(F.col("authorized_canonical"))
+    )
+    return (
+        joined.withColumn(
+            "reject_reason",
+            F.when(
+                F.coalesce(F.col("n_authorized"), F.lit(0)) >= 2,
+                F.lit("Both records are in authorized format."),
+            ).otherwise(F.lit(None).cast("string")),
+        )
+        .withColumn(
+            "canonical_host",
+            F.when(F.col("reject_reason").isNotNull(), F.col("survivor_host"))
+            .when(surv_is_auth, F.col("survivor_host"))
+            .when(
+                F.col("authorized_canonical").isNotNull(),
+                F.col("authorized_canonical"),
+            )
+            .otherwise(F.col("survivor_host")),
+        )
+        .drop("n_authorized", "authorized_canonical")
+    )

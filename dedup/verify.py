@@ -74,6 +74,7 @@ def pair_reasons(
     cfg: DedupConfig,
     host_ids: DataFrame | None = None,
     rule_columns: dict[str, tuple[str, str]] | None = None,
+    count_columns: dict[str, tuple[str, str]] | None = None,
 ) -> DataFrame:
     """Adds `reasons: array<string>` + `can_merge: boolean`.
 
@@ -156,6 +157,17 @@ def pair_reasons(
             _reason_when(
                 F.col("a_is_host"),
                 F.concat(F.lit("record is a host record: "), F.col("url_a")),
+            )
+        )
+
+    # sameAuthorType / identicalCount (mergeability-validators.js:115-131):
+    # per-configured-field count equality, message verbatim.
+    for tag, (a_col, b_col) in sorted((count_columns or {}).items()):
+        parts.append(
+            _reason_when(
+                F.size(F.coalesce(F.col(a_col), F.array()))
+                != F.size(F.coalesce(F.col(b_col), F.array())),
+                F.lit(f"Field count mismatch for field {tag}"),
             )
         )
 

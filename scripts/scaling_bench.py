@@ -71,10 +71,18 @@ def main() -> None:
     ap.add_argument("--docs", type=int, default=30000)
     ap.add_argument("--low", type=int, default=8)
     ap.add_argument("--high", type=int, default=32)
+    ap.add_argument("--repeats", type=int, default=2,
+                    help="interleaved repeats per level; min wall wins "
+                         "(the sandbox host's throughput varies ~2x "
+                         "between runs, so single measurements mislead)")
     args = ap.parse_args()
 
-    low = run_once(args.docs, args.low)
-    high = run_once(args.docs, args.high)
+    lows, highs = [], []
+    for _ in range(args.repeats):
+        lows.append(run_once(args.docs, args.low))
+        highs.append(run_once(args.docs, args.high))
+    low = min(lows, key=lambda r: r["wall_s"])
+    high = min(highs, key=lambda r: r["wall_s"])
     assert low["assign_rows"] == high["assign_rows"], "row count mismatch"
     assert low["assign_hash"] == high["assign_hash"], (
         "outputs differ between parallelism levels"

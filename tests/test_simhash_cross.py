@@ -1,0 +1,39 @@
+"""Cross-check: the production numpy SimHash fingerprint packs exactly
+the bit votes of the relational (oracle-checked) formulation when both
+run over the same portable token hashes."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dedup.config import DedupConfig
+from dedup.simhash import token_hashes_expr, with_simhash
+
+
+def test_fingerprint_matches_bit_votes(spark):
+    cfg = DedupConfig(hash_mode="portable")
+    docs = [
+        ("u1", "the quick brown fox jumps over the lazy dog again and again"),
+        ("u2", "tilastot kertyvät joka vuosi eri lähteistä eri tavoin"),
+        ("u3", "a b c d e f g h i j k l m n o p q r s t"),
+    ]
+    df = spark.createDataFrame(docs, "url string, norm_text string")
+
+    fps = {r["url"]: r["simhash"] for r in with_simhash(df, cfg).collect()}
+
+    toks = df.select(
+        "url", F.explode(token_hashes_expr(F.col("norm_text"), cfg)).alias("th")
+    ).distinct()
+    bits = spark.range(64).select(F.col("id").cast("int").alias("bit"))
+    votes = (
+        toks.crossJoin(bits)
+        .groupBy("url", "bit")
+        .agg(F.sum(F.expr("(shiftrightunsigned(th, bit) & 1) * 2 - 1")).alias("v"))
+        .collect()
+    )
+    packed: dict[str, int] = {u: 0 for u, _ in docs}
+    for r in votes:
+        if r["v"] > 0:
+            packed[r["url"]] |= 1 << r["bit"]
+    for u, fp in fps.items():
+        assert fp & ((1 << 64) - 1) == packed[u] & ((1 << 64) - 1), u
