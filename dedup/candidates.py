@@ -62,7 +62,10 @@ def representatives(groups: DataFrame) -> DataFrame:
 
 
 def pairs_from_buckets(
-    bucketed: DataFrame, key_cols: list[str], cfg: DedupConfig
+    bucketed: DataFrame,
+    key_cols: list[str],
+    cfg: DedupConfig,
+    min_collisions: int = 1,
 ) -> tuple[DataFrame, DataFrame]:
     """Generic bucket → unordered-pair expansion with hot-bucket star
     fallback. `bucketed` has key_cols + `url`. Returns
@@ -111,7 +114,20 @@ def pairs_from_buckets(
         )
     )
 
-    pairs = small_pairs.unionByName(star_pairs).distinct()
+    allp = small_pairs.unionByName(star_pairs)
+    if min_collisions > 1:
+        # require the pair to collide in >= k buckets: a true >=0.8-Jaccard
+        # pair collides in ~13 of 32 bands (P[<2] ≈ 2e-6), while most
+        # boilerplate noise collides once — pruned here on the slim
+        # 16-byte pair rows, BEFORE any signature/shingle array joins.
+        pairs = (
+            allp.groupBy("url_a", "url_b")
+            .agg(F.count(F.lit(1)).alias("n_collisions"))
+            .filter(F.col("n_collisions") >= min_collisions)
+            .select("url_a", "url_b")
+        )
+    else:
+        pairs = allp.distinct()
     hot = (
         hot_rows.groupBy(*key_cols)
         .agg(F.max("bucket_size").alias("bucket_size"))
@@ -123,4 +139,7 @@ def lsh_candidates(
     bands: DataFrame, cfg: DedupConfig
 ) -> tuple[DataFrame, DataFrame]:
     """Candidate pairs from exploded LSH bands (url, band_idx, band_key)."""
-    return pairs_from_buckets(bands, ["band_idx", "band_key"], cfg)
+    return pairs_from_buckets(
+        bands, ["band_idx", "band_key"], cfg,
+        min_collisions=cfg.min_band_collisions,
+    )

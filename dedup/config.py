@@ -32,10 +32,17 @@ class DedupConfig:
 
     # --- shingling / signatures -------------------------------------
     k_shingle: int = 9          # char k-grams over normalized text
-    num_perm: int = 128         # MinHash permutations (fast mode)
-    bands: int = 32             # LSH bands b
+    num_perm: int = 64          # MinHash permutations (fast mode)
+    bands: int = 16             # LSH bands b
     rows_per_band: int = 4      # LSH rows r  (b*r == num_perm)
     seed: int = 42
+    # candidate pairs must collide in >= this many bands (fast mode):
+    # at J=0.80, band-collision count ~ Binomial(16, 0.8^4=0.41),
+    # P[X < 2] ≈ 0.0027 (and ≈ 2e-4 at J=0.85) — well inside the 0.99
+    # recall budget, while most sub-threshold boilerplate pairs collide
+    # exactly once and are pruned on slim 16-byte rows BEFORE any
+    # signature/shingle array join. Set to 1 for maximum recall.
+    min_band_collisions: int = 2
 
     # fast-mode shingle hash width: 31 (int, half the join bytes) or 64
     shingle_hash_bits: int = 31

@@ -83,16 +83,42 @@ def run_dedup(
         clean = clean.persist(StorageLevel.MEMORY_AND_DISK)
     quarantined = norm.join(clean.select("url"), "url", "left_anti")
 
+    # integer surrogate ids: every band/candidate/CC shuffle moves an
+    # 8-byte long instead of a ~50-byte url string (the pipeline is
+    # memory-bandwidth-bound at high core counts). xxhash64 keeps the
+    # mapping deterministic; at 10^12 docs switch to a 128-bit
+    # (two-column) surrogate — 64-bit birthday risk ≈ 2.7% there.
+    keyed = clean.withColumn("uid", F.xxhash64("url"))
+    kpages = keyed.select(
+        F.col("uid").alias("url"),
+        F.col("url").alias("real_url"),
+        *[c for c in keyed.columns if c not in ("url", "uid")],
+    )
+    ids = keyed.select(F.col("url").alias("real_url"), F.col("uid"))
+
+    def to_uid_pairs(ch: DataFrame) -> DataFrame:
+        ia = ids.select(F.col("real_url").alias("url_a"), F.col("uid").alias("ua"))
+        ib = ids.select(F.col("real_url").alias("url_b"), F.col("uid").alias("ub"))
+        return (
+            ch.select("url_a", "url_b")
+            .join(ia, "url_a")
+            .join(ib, "url_b")
+            .select(
+                F.least("ua", "ub").alias("url_a"),
+                F.greatest("ua", "ub").alias("url_b"),
+            )
+        )
+
     # exact pre-dedup: one signature per distinct normalized text
-    groups = exact_groups(clean, cfg)
+    groups = exact_groups(kpages, cfg)
     reps = representatives(groups)
-    rep_pages = clean.join(reps, "url")
+    rep_pages = kpages.join(reps, "url")
 
     # signatures + LSH candidates (representatives only)
     sigs = signatures(rep_pages, cfg)
     if persist:
         # sigs feed banding AND pair-verification joins (twice each):
-        # persist the narrow (url, shingles, sig) projection only
+        # persist the narrow (uid, shingles, sig) projection only
         sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
     bands = explode_bands(sigs, cfg)
     raw_candidates, hot = lsh_candidates(bands, cfg)
@@ -102,10 +128,17 @@ def run_dedup(
     exact_pairs = exact_edges(groups).select("url_a", "url_b")
     all_candidates = raw_candidates.unionByName(exact_pairs)
     for ch in candidate_channels or []:
-        all_candidates = all_candidates.unionByName(ch.select("url_a", "url_b"))
+        all_candidates = all_candidates.unionByName(to_uid_pairs(ch))
     all_candidates = all_candidates.distinct()
 
-    feats = url_features(clean, sources)
+    feats = url_features(kpages, None).drop("sources")
+    if sources is not None:
+        feats = feats.join(_uid_sources(sources, ids), "url", "left")
+        feats = feats.withColumn(
+            "sources", F.coalesce("sources", F.array().cast("array<string>"))
+        )
+    else:
+        feats = feats.withColumn("sources", F.array().cast("array<string>"))
     if cfg.estimate_prefilter and cfg.hash_mode == "fast":
         # MinHash-estimate pre-filter: ship only the (num_perm × 8B)
         # signature through the first join and drop candidates whose
@@ -116,15 +149,22 @@ def run_dedup(
         all_candidates = _estimate_filter(all_candidates, sigs, groups, cfg)
     with_j = _jaccard_incl_exact(all_candidates, sigs, groups)
     pairs = attach_features(with_j, feats)
-    pairs = pair_reasons(pairs, cfg, host_ids)
+    uid_hosts = (
+        host_ids.join(
+            ids, host_ids.url == ids.real_url
+        ).select(F.col("uid").alias("url"))
+        if host_ids is not None
+        else None
+    )
+    pairs = pair_reasons(pairs, cfg, uid_hosts)
     edges = verified_edges(pairs, cfg, "lsh")
 
     if bypass_jaccard_channels:
-        bypass = bypass_jaccard_channels[0].select("url_a", "url_b")
+        bypass = to_uid_pairs(bypass_jaccard_channels[0])
         for ch in bypass_jaccard_channels[1:]:
-            bypass = bypass.unionByName(ch.select("url_a", "url_b"))
+            bypass = bypass.unionByName(to_uid_pairs(ch))
         bpairs = attach_features(bypass.distinct(), feats)
-        bpairs = pair_reasons(bpairs, cfg, host_ids)
+        bpairs = pair_reasons(bpairs, cfg, uid_hosts)
         bedges = bpairs.filter(F.col("can_merge")).select(
             "url_a", "url_b",
             F.lit(1.0).alias("jaccard"), F.lit("bypass").alias("channel"),
@@ -140,14 +180,41 @@ def run_dedup(
         # otherwise replay candidate generation + verification.
         edges = edges.localCheckpoint(eager=True)
 
+    # CC runs entirely on 8-byte surrogate ids
     assign = connected_components(edges)
-    assign = assignments_with_singletons(assign, clean.select("url"))
+    assign = assignments_with_singletons(assign, kpages.select("url"))
 
-    members = assign.join(feats, "url")
+    # map back: cluster_id := min real url of the component (identical
+    # member sets ⇒ identical labels to the pre-surrogate pipeline)
+    members_uid = assign.join(feats, "url")
+    labels = members_uid.groupBy("cluster_id").agg(
+        F.min("real_url").alias("cluster_label")
+    )
+    members = (
+        members_uid.join(labels, "cluster_id")
+        .drop("cluster_id", "url")
+        .withColumnRenamed("real_url", "url")
+        .withColumnRenamed("cluster_label", "cluster_id")
+    )
     survivors = select_survivors(
         members, cfg, run_id=run_id, run_ts=run_ts
     )
     survivors = reprint_notes(members, survivors)
+
+    # result surfaces carry real urls
+    pairs_out = (
+        pairs.withColumn("url_a", F.col("a_real_url"))
+        .withColumn("url_b", F.col("b_real_url"))
+    )
+    er = ids.select(F.col("uid").alias("url_a"), F.col("real_url").alias("ra"))
+    eb = ids.select(F.col("uid").alias("url_b"), F.col("real_url").alias("rb"))
+    edges_out = (
+        edges.join(er, "url_a").join(eb, "url_b")
+        .select(
+            F.least("ra", "rb").alias("url_a"),
+            F.greatest("ra", "rb").alias("url_b"),
+        )
+    )
 
     return DedupResult(
         clean=clean,
@@ -155,10 +222,20 @@ def run_dedup(
         shingle_sets=sigs,
         candidates=raw_candidates,
         hot_buckets=hot,
-        pairs=pairs,
-        edges=edges,
-        assignments=assign,
+        pairs=pairs_out,
+        edges=edges_out,
+        assignments=members.select("url", "cluster_id"),
         survivors=survivors,
+    )
+
+
+def _uid_sources(sources: DataFrame, ids: DataFrame) -> DataFrame:
+    """(real url, source) side table → (uid-as-url, sources array)."""
+    return (
+        sources.join(ids, sources.url == ids.real_url)
+        .groupBy("uid")
+        .agg(F.sort_array(F.collect_set("source")).alias("sources"))
+        .withColumnRenamed("uid", "url")
     )
 
 

@@ -41,7 +41,9 @@ def url_features(pages_with_norm: DataFrame, sources: DataFrame | None) -> DataF
         F.col("warc_ts"),
         F.length("text").alias("text_len"),
     ]
-    opt = [c for c in ("is_component",) if c in pages_with_norm.columns]
+    opt = [
+        c for c in ("is_component", "real_url") if c in pages_with_norm.columns
+    ]
     df = pages_with_norm.select(*cols, *opt)
     if sources is not None:
         agg = sources.groupBy("url").agg(
@@ -85,6 +87,16 @@ def pair_reasons(
     """
     parts: list[Column] = []
 
+    # identity columns for reason messages: when the pipeline runs on
+    # integer surrogate ids, the human-readable url rides along as
+    # a_real_url/b_real_url and messages use it (golden fidelity)
+    disp_a = (
+        F.col("a_real_url") if "a_real_url" in pairs.columns else F.col("url_a")
+    )
+    disp_b = (
+        F.col("b_real_url") if "b_real_url" in pairs.columns else F.col("url_b")
+    )
+
     # noSameLOWTags (mergeability-validators.js:52-67) — one reason per
     # overlapping source, message verbatim incl. the reference's typo.
     overlap = F.array_intersect("b_sources", "a_sources")
@@ -122,13 +134,13 @@ def pair_reasons(
         parts.append(
             _reason_when(
                 F.col("b_is_component"),
-                F.concat(F.lit("record is a component record: "), F.col("url_b")),
+                F.concat(F.lit("record is a component record: "), disp_b),
             )
         )
         parts.append(
             _reason_when(
                 F.col("a_is_component"),
-                F.concat(F.lit("record is a component record: "), F.col("url_a")),
+                F.concat(F.lit("record is a component record: "), disp_a),
             )
         )
 
@@ -150,13 +162,13 @@ def pair_reasons(
         parts.append(
             _reason_when(
                 F.col("b_is_host"),
-                F.concat(F.lit("record is a host record: "), F.col("url_b")),
+                F.concat(F.lit("record is a host record: "), disp_b),
             )
         )
         parts.append(
             _reason_when(
                 F.col("a_is_host"),
-                F.concat(F.lit("record is a host record: "), F.col("url_a")),
+                F.concat(F.lit("record is a host record: "), disp_a),
             )
         )
 

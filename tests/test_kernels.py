@@ -45,9 +45,15 @@ def test_banding_threshold_math():
     # (1/b)^(1/r) approximates the S-curve threshold
     cfg = DedupConfig()
     thr = (1 / cfg.bands) ** (1 / cfg.rows_per_band)
-    assert 0.3 < thr < 0.5  # b=32, r=4 → ~0.42, below jaccard_threshold
+    assert 0.3 < thr <= 0.5  # b=16, r=4 → 0.5, below jaccard_threshold
     p_detect = 1 - (1 - cfg.jaccard_threshold**cfg.rows_per_band) ** cfg.bands
     assert p_detect > 0.999  # at J=0.8 the LSH recall budget holds
+    # min-band-collision prune keeps the budget too: P[X >= 2]
+    import math
+
+    p = cfg.jaccard_threshold**cfg.rows_per_band
+    p_lt2 = (1 - p) ** cfg.bands + cfg.bands * p * (1 - p) ** (cfg.bands - 1)
+    assert p_lt2 < 0.005
 
 
 def test_winnow_fingerprints_containment():
