@@ -66,29 +66,42 @@ def pairs_from_buckets(
     key_cols: list[str],
     cfg: DedupConfig,
     min_collisions: int = 1,
+    keep_collisions: bool = False,
+    max_bucket: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Generic bucket → unordered-pair expansion with hot-bucket star
     fallback. `bucketed` has key_cols + `url`. Returns
-    (pairs, hot_buckets) with pairs = distinct (url_a < url_b) and
-    hot_buckets = (key_cols..., bucket_size) rows that took the star
-    path (skew lineage for metrics)."""
-    from pyspark.sql import Window
+    (pairs, hot_buckets) with pairs = distinct (url_a < url_b)
+    [+ `n_collisions` when keep_collisions] and hot_buckets =
+    (key_cols..., bucket_size) rows that took the star path (skew
+    lineage for metrics).
 
-    # ONE shuffle: hash-partition by bucket key, then window count +
-    # window min reuse that partitioning (no groupBy+join round-trips).
-    # Rows are unique per (key, url) by construction upstream (bands /
-    # fingerprints are emitted distinct), so count(*) == distinct urls.
-    w = Window.partitionBy(*key_cols)
-    tagged = bucketed.withColumn("bucket_size", F.count(F.lit(1)).over(w))
+    Skew design: bucket stats come from a groupBy aggregate (map-side
+    partial combine — a 10^8-member boilerplate bucket arrives at the
+    reducer as <= one partial row per map task, never 10^8 rows at one
+    task the way a Window.partitionBy count would). Over-cap keys are by
+    construction rare and tiny after aggregation, so they BROADCAST:
+    the star expansion is a map-side broadcast join (hot rows never
+    shuffle by the skewed key at all), and the sub-cap path drops them
+    with a broadcast anti-join before its collect_set shuffle, which
+    therefore sees only cap-bounded groups."""
+    cap = max_bucket if max_bucket is not None else cfg.max_bucket_size
+    # rows are unique per (key, url) upstream (bands / fingerprints are
+    # emitted distinct), so count(*) == distinct urls
+    stats = bucketed.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("bucket_size"),
+        F.min("url").alias("hub_url"),
+    )
+    hot = stats.filter(F.col("bucket_size") > cap).select(
+        *key_cols, "hub_url", "bucket_size"
+    )
 
     # --- sub-cap buckets: full pair expansion over bounded arrays -----
     small = (
-        tagged.filter(
-            (F.col("bucket_size") >= 2)
-            & (F.col("bucket_size") <= cfg.max_bucket_size)
-        )
+        bucketed.join(F.broadcast(hot.select(*key_cols)), key_cols, "left_anti")
         .groupBy(*key_cols)
         .agg(F.sort_array(F.collect_set("url")).alias("urls"))
+        .filter(F.size("urls") >= 2)
     )
     pair_structs = F.flatten(
         F.transform(
@@ -104,10 +117,8 @@ def pairs_from_buckets(
     )
 
     # --- over-cap buckets: star pairs around the bucket minimum ------
-    # window min reuses the same partitioning — no extra shuffle
-    hot_rows = tagged.filter(F.col("bucket_size") > cfg.max_bucket_size)
     star_pairs = (
-        hot_rows.withColumn("hub_url", F.min("url").over(w))
+        bucketed.join(F.broadcast(hot.select(*key_cols, "hub_url")), key_cols)
         .filter(F.col("url") != F.col("hub_url"))
         .select(
             F.col("hub_url").alias("url_a"), F.col("url").alias("url_b")
@@ -115,24 +126,22 @@ def pairs_from_buckets(
     )
 
     allp = small_pairs.unionByName(star_pairs)
-    if min_collisions > 1:
-        # require the pair to collide in >= k buckets: a true >=0.8-Jaccard
-        # pair collides in ~13 of 32 bands (P[<2] ≈ 2e-6), while most
-        # boilerplate noise collides once — pruned here on the slim
-        # 16-byte pair rows, BEFORE any signature/shingle array joins.
+    if min_collisions > 1 or keep_collisions:
+        # pair multiplicity = number of buckets the pair co-occurs in: a
+        # true >=0.8-Jaccard pair collides in many bands (P[<2] ≈ 2e-6 at
+        # the default config) while most boilerplate noise collides once —
+        # pruned here on the slim 16-byte pair rows, BEFORE any
+        # signature/shingle array joins.
         pairs = (
             allp.groupBy("url_a", "url_b")
             .agg(F.count(F.lit(1)).alias("n_collisions"))
             .filter(F.col("n_collisions") >= min_collisions)
-            .select("url_a", "url_b")
         )
+        if not keep_collisions:
+            pairs = pairs.select("url_a", "url_b")
     else:
         pairs = allp.distinct()
-    hot = (
-        hot_rows.groupBy(*key_cols)
-        .agg(F.max("bucket_size").alias("bucket_size"))
-    )
-    return pairs, hot
+    return pairs, hot.select(*key_cols, "bucket_size")
 
 
 def lsh_candidates(

@@ -37,7 +37,7 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--run-id", default="run-0")
     ap.add_argument("--jaccard", type=float, default=0.8)
-    ap.add_argument("--channels", default="lsh,exact",
+    ap.add_argument("--channels", default="lsh,exact,simhash,substring",
                     help="comma list from {lsh,exact,simhash,substring}")
     args = ap.parse_args(argv)
 
@@ -77,7 +77,10 @@ def main(argv: list[str] | None = None) -> int:
     if "simhash" in channels:
         sim = with_simhash(clean, cfg).select("url", "simhash")
         sim_pairs, sim_hot = simhash_candidates(sim, cfg)
-        cand_channels.append(sim_pairs.select("url_a", "url_b"))
+        # Hamming <= max_hamming IS the channel's similarity verification
+        # (order-insensitive near-dups have sub-threshold char-shingle
+        # Jaccard) — bypass the Jaccard gate, keep the reason gates
+        bypass_channels.append(sim_pairs.select("url_a", "url_b"))
         metrics.record_stage("simhash_hot_buckets", sim_hot)
     if "substring" in channels:
         sub_edges, sub_hot = substring_edges(clean, cfg)
@@ -99,7 +102,23 @@ def main(argv: list[str] | None = None) -> int:
     metrics.record_stage("assignments", assign_ck, histogram=True)
     surv_ck = store.write_stage("survivors", res.survivors)
     metrics.record_stage("survivors", surv_ck)
+    metrics.record_stage("rejected_survivors", res.rejected)
     metrics.record_stage("hot_buckets", res.hot_buckets)
+
+    # stat-only parity counters (the reference's non-fatal per-pair
+    # 'STAT 245]' / 'STAT DIAC]' debug logging, marc-record-merge-
+    # melindautils.js:106-114) — aggregated instead of per-line logged
+    stat_row = res.pairs.agg(
+        F.sum(F.size("stat_245_msgs")).alias("n245"),
+        F.sum(F.size("stat_diacritics_msgs")).alias("ndiac"),
+        F.count(F.lit(1)).alias("npairs"),
+    ).collect()[0]
+    metrics.records.append({
+        "stage": "stat_parity",
+        "pairs": int(stat_row["npairs"] or 0),
+        "stat_245_superset_msgs": int(stat_row["n245"] or 0),
+        "stat_diacritics_msgs": int(stat_row["ndiac"] or 0),
+    })
 
     wall = time.time() - t0
     n_docs = clean_ck.count()

@@ -25,15 +25,25 @@ def _undirect(edges: DataFrame) -> DataFrame:
     )
 
 
+def _with_min(e2: DataFrame) -> DataFrame:
+    """Attach m(u) = min(min(v in Γ(u)), u) to every edge.
+
+    groupBy-agg + join, NOT Window.partitionBy min: the aggregate gets
+    map-side partial combine, so a mega-component hub with 10^8
+    neighbors costs <= one partial row per map task instead of a
+    single-task straggler holding the whole neighborhood. The join back
+    hash-partitions by u; a skewed u is handled by AQE skew-join
+    splitting (the build side is one row per key, so split partitions
+    stay correct)."""
+    mins = e2.groupBy("u").agg(F.min("v").alias("_mn"))
+    return e2.join(mins, "u").withColumn(
+        "m", F.least(F.col("_mn"), F.col("u"))
+    ).drop("_mn")
+
+
 def _large_star(e2: DataFrame) -> DataFrame:
-    """Connect every strictly-larger neighbor to m(u) = min(Γ(u) ∪ {u}).
-
-    Window formulation: ONE shuffle (hash by u) computes the per-node
-    min in place — no groupBy + self-join round trip."""
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("u")
-    with_m = e2.withColumn("m", F.least(F.min("v").over(w), F.col("u")))
+    """Connect every strictly-larger neighbor to m(u) = min(Γ(u) ∪ {u})."""
+    with_m = _with_min(e2)
     return (
         with_m.filter(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
@@ -44,11 +54,8 @@ def _large_star(e2: DataFrame) -> DataFrame:
 
 def _small_star(e2: DataFrame) -> DataFrame:
     """Connect every smaller neighbor (and u itself) to the min."""
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("u")
     le = e2.filter(F.col("v") < F.col("u"))
-    with_m = le.withColumn("m", F.least(F.min("v").over(w), F.col("u")))
+    with_m = _with_min(le)
     out = (
         with_m.select(F.col("v").alias("u"), F.col("m").alias("v"))
         .union(with_m.select(F.col("u"), F.col("m").alias("v")))
@@ -78,10 +85,14 @@ def connected_components(
     import time
 
     t0 = time.time()
-    e2 = _undirect(edges).localCheckpoint(eager=True)
+    # lazy localCheckpoint: the fingerprint action both materializes the
+    # checkpoint and reads the convergence stats — ONE job per iteration
+    # instead of eager-checkpoint + collect (halves driver round-trips)
+    e2 = _undirect(edges).localCheckpoint(eager=False)
     prev = _fingerprint(e2)
     if verbose:
         print(f"[cc] init: {time.time() - t0:.1f}s fp={prev}")
+    converged = False
     for it in range(max_iterations):
         t = time.time()
         after_large = _undirect(
@@ -92,13 +103,21 @@ def connected_components(
         after_small = _small_star(after_large)
         e2 = _undirect(
             after_small.select(F.col("u").alias("url_a"), F.col("v").alias("url_b"))
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         cur = _fingerprint(e2)
         if verbose:
             print(f"[cc] iter {it}: {time.time() - t:.1f}s fp={cur}")
         if cur == prev:
+            converged = True
             break
         prev = cur
+    if not converged:
+        # falling through with a non-star edge set would silently emit
+        # inconsistent assignments — fail loudly instead
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "iterations (edge-set fingerprint still changing)"
+        )
 
     # converged: edges form stars child→root (root = component min).
     # roots: nodes that appear only as targets.

@@ -78,6 +78,11 @@ class DedupConfig:
     fingerprint_window: int = 32      # winnowing window (chars)
     substring_min_len: int = 64       # shorter docs skip the channel
     substring_min_shared: int = 2     # shared fingerprints to become candidate
+    # fingerprint buckets run over exact-dup REPRESENTATIVES, so sizes
+    # count distinct texts; containment families (one page quoted by
+    # many) are legitimate up to this cap, boilerplate floods beyond it
+    # take the star path
+    substring_max_bucket: int = 64
 
     # --- skew / scale hygiene --------------------------------------
     # LSH band bucket cap: buckets above this switch to O(m) star pairs.
@@ -97,6 +102,19 @@ class DedupConfig:
     field_rules: dict[str, list[str]] = field(
         default_factory=lambda: dict(DEFAULT_FIELD_RULES)
     )
+    # sameAuthorType analogue (mergeability-validators.js:123-131): field
+    # count equality checked in THIS order; the reference throws at the
+    # first mismatch, so order is semantics.
+    count_fields: tuple[str, ...] = ("headings",)
+
+    # --- integrity ---------------------------------------------------
+    # one cheap aggregate asserting count_distinct(uid) == count(url)
+    # before any surrogate-keyed shuffle: a 64-bit collision would
+    # silently fuse two unrelated pages (expected colliding pairs at
+    # 10^12 docs ≈ n²/2⁶⁵ ≈ 27k — switch to a 128-bit two-column
+    # surrogate at that scale; at the sandbox's ≤10⁷ docs the expected
+    # count is ≤ 3e-6, and this check turns 'silent' into 'loud').
+    check_uid_collisions: bool = True
 
     def __post_init__(self) -> None:
         if self.bands * self.rows_per_band != self.num_perm:

@@ -12,10 +12,24 @@ dup_kind semantics for the e2e tests:
   source_blocked — a near-dup that SHARES a source with its base: the
       source-overlap guard (noSameLOWTags analogue) must emit a reason
       and block the direct pair.
+  rule_blocked — a ≥0.8-Jaccard near-dup carrying a tracking_ids entry:
+      the neitherHas stop-field rule (checkFieldRequirements analogue)
+      must block it.
+  count_blocked — a ≥0.8-Jaccard near-dup with an extra headings entry:
+      the sameAuthorType count gate must block it.
+  extent_blocked — a ≥0.8-Jaccard near-dup with a conflicting (or
+      mutually-uninferrable) extent string: the same300TypeAndCount
+      gate must block it.
   boilerplate — many docs sharing a short template (hot LSH buckets) but
       each below the Jaccard threshold vs the others: they must NOT
       merge, and the bucket cap must engage.
   quarantine — empty/sentinel docs filtered before pairing.
+
+Every dup-family member inherits its base's metadata columns
+(canonical_links / meta_tags / tracking_ids / headings / extent)
+verbatim unless its kind exists to violate one of them — copies of a
+page share the page's metadata, so the production gates stay recall-
+neutral for true duplicates.
 """
 
 from __future__ import annotations
@@ -49,10 +63,24 @@ def generate_corpus(
     rows, truth, srcrows = [], [], []
     next_id = 0
 
+    _EXTENTS = ["12 s.", "XV, 514 s. :", "2 nid.", "kartta"]
+
+    def base_meta(cid: int) -> dict:
+        """Deterministic page metadata for a base doc; dup-family members
+        inherit it verbatim (copies of a page share its metadata)."""
+        return dict(
+            canonical_links=[f"https://canon.example/{cid}"],
+            meta_tags=[f"og:site=site{cid % 7}"] if cid % 2 == 0 else [],
+            tracking_ids=[],
+            headings=[f"heading {cid}"],
+            extent=_EXTENTS[cid % len(_EXTENTS)],
+        )
+
     def emit(text: str, lang: str, cluster: int, kind: str,
-             sources: list[str], ts_off: int) -> str:
+             sources: list[str], ts_off: int, meta: dict | None = None) -> str:
         nonlocal next_id
         url = f"https://site{next_id % 97}.example/p/{next_id}"
+        m = meta if meta is not None else base_meta(cluster)
         rows.append(
             dict(
                 url=url,
@@ -60,6 +88,7 @@ def generate_corpus(
                 html=("<html><body>" + text + "</body></html>").encode(),
                 text=text,
                 lang=lang,
+                **m,
             )
         )
         truth.append(dict(url=url, true_cluster_id=cluster, dup_kind=kind))
@@ -124,11 +153,14 @@ def generate_corpus(
     budget = n_docs - n_base
     kinds = (
         ["exact"] * (budget * 18 // 100)
-        + ["near"] * (budget * 32 // 100)
+        + ["near"] * (budget * 26 // 100)
         + ["substring"] * (budget * 10 // 100)
         + ["simhash_near"] * (budget * 10 // 100)
         + ["boilerplate"] * (budget * 15 // 100)
         + ["source_blocked"] * (budget * 5 // 100)
+        + ["rule_blocked"] * (budget * 4 // 100)
+        + ["count_blocked"] * (budget * 2 // 100)
+        + ["extent_blocked"] * (budget * 2 // 100)
         + ["quarantine"] * (budget * 5 // 100)
     )
     kinds += ["near"] * (budget - len(kinds))
@@ -146,12 +178,51 @@ def generate_corpus(
             emit(mutate_above_threshold(text), lang, cid, "near",
                  [fresh_source(cid)], ts)
         elif kind == "simhash_near":
-            emit(mutate_above_threshold(text), lang, cid, "simhash_near",
+            # word-order shuffle: token MULTISET identical (weighted
+            # SimHash Hamming == 0) while char-shingle Jaccard collapses
+            # far below 0.8 — only the SimHash channel can catch it
+            toks = text.split()
+            perm = rng.permutation(len(toks))
+            emit(" ".join(toks[i] for i in perm), lang, cid, "simhash_near",
                  [fresh_source(cid)], ts)
         elif kind == "source_blocked":
             # shares the base's source → direct pair must be blocked
             emit(mutate_above_threshold(text), lang, cid, "source_blocked",
                  [bsrc], ts)
+        elif kind == "rule_blocked":
+            # carries a tracking id → the neitherHas stop-field rule
+            # (validate-fields.js:74-82 analogue) blocks every pair
+            m = base_meta(cid)
+            m["tracking_ids"] = [f"trk-{next_id_token(truth)}"]
+            emit(mutate_above_threshold(text), lang, cid, "rule_blocked",
+                 [fresh_source(cid)], ts, meta=m)
+        elif kind == "count_blocked":
+            # extra heading → sameAuthorType count gate blocks
+            # (mergeability-validators.js:123-131 analogue)
+            m = base_meta(cid)
+            m["headings"] = m["headings"] + [f"extra {next_id_token(truth)}"]
+            emit(mutate_above_threshold(text), lang, cid, "count_blocked",
+                 [fresh_source(cid)], ts, meta=m)
+        elif kind == "extent_blocked":
+            # conflicting extent → same300TypeAndCount blocks. Alternate
+            # deterministically between the two reject paths: a different
+            # inferred volume count against an inferable base, and a
+            # second (distinct) uninferrable string against an
+            # uninferrable base → 'Could not infer' path
+            tok = next_id_token(truth)
+            if tok % 2 == 1:
+                kartta_bases = [bd for bd in base_docs if bd[0] % 4 == 3]
+                if kartta_bases:
+                    cid, text, lang, bsrc = kartta_bases[
+                        tok % len(kartta_bases)
+                    ]
+            m = base_meta(cid)
+            if m["extent"] == "kartta":
+                m["extent"] = f"karttoja {tok}"
+            else:
+                m["extent"] = f"{3 + tok % 89} nid."
+            emit(mutate_above_threshold(text), lang, cid, "extent_blocked",
+                 [fresh_source(cid)], ts, meta=m)
         elif kind == "substring":
             pad_a = " ".join(_words(rng, 15))
             pad_b = " ".join(_words(rng, 15))

@@ -56,9 +56,38 @@ _PAGES_CTE = f"""
 pages AS (
   SELECT 'https://' || source || '.example/doc/' || doc_id::VARCHAR AS url,
          (1704067200 + doc_id * 60)::BIGINT AS warc_ts_epoch,
-         text, lang, source
+         text, lang, source,
+         CASE WHEN doc_id % 5 = 0
+              THEN ['https://canon.example/' || md5(text)]
+              ELSE []::VARCHAR[] END AS canonical_links,
+         CASE WHEN doc_id % 3 = 0
+              THEN ['og:lang=' || lang] ELSE []::VARCHAR[] END AS meta_tags,
+         CASE WHEN doc_id % 37 = 0
+              THEN ['trk-' || doc_id::VARCHAR]
+              ELSE []::VARCHAR[] END AS tracking_ids,
+         CASE WHEN doc_id % 29 = 0
+              THEN [substr(text, 1, 24), 'h2']
+              ELSE [substr(text, 1, 24)] END AS headings,
+         CASE WHEN doc_id % 7 = 0 THEN ((doc_id % 4 + 1)::VARCHAR || ' nid.')
+              WHEN doc_id % 7 = 1 THEN 'XV, 514 s. :'
+              WHEN doc_id % 7 = 2 THEN 'kartta'
+              ELSE NULL END AS extent
   FROM documents
 )
+"""
+
+# inferTypeAndCount in DuckDB SQL (record-utils.js:415-478 semantics over
+# the derived extent domain): anchored explicit volume count, else the
+# roman-preface / pages-alias implicit single-volume rules, else NULL.
+_INFER_COUNT_SQL = """
+CASE WHEN {x} IS NULL OR trim({x}) = '' THEN NULL
+     WHEN regexp_extract(lower({x}), '^([0-9]+)\\s*(volumes?|vol|nid|v\\.)', 1) <> ''
+          THEN regexp_extract(lower({x}), '^([0-9]+)\\s*(volumes?|vol|nid|v\\.)', 1)::INT
+     WHEN regexp_matches(lower({x}), '^[ivxlcdm]+[\\s,.:]') THEN 1
+     WHEN regexp_matches(lower({x}) || ' ',
+                         '([0-9]+)\\s*,?\\s*(pages?|sivua|s\\.?|p\\.?)($|[\\s:;(\\[])')
+          THEN 1
+     ELSE NULL END
 """
 
 _NORM_CTE = """
@@ -434,16 +463,18 @@ def q_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Portable SimHash bit votes: for each url and bit 0..63, the
-    vote margin over distinct h60 token hashes and the resulting bit.
-    The production 64-bit fingerprint (dedup/simhash.py numpy UDF) packs
-    exactly these bits; tests/test_kernels cross-checks the two."""
+    """Portable weighted-SimHash bit votes: for each url and bit 0..63,
+    the frequency-weighted vote margin over h60 token hashes (one vote
+    per OCCURRENCE — Manku et al.'s weighted form) and the resulting
+    bit. The production 64-bit fingerprint (dedup/simhash.py batched
+    numpy kernel) packs exactly these bits; tests/test_simhash_cross
+    cross-checks the two."""
     from dedup.simhash import token_hashes_expr
 
     clean = _clean(spark, sf_dir)
     toks = clean.select(
         "url", F.explode(token_hashes_expr(F.col("norm_text"), CFG)).alias("th")
-    ).distinct()
+    )
     bits = spark.range(64).select(F.col("id").cast("int").alias("bit"))
     # SQL form: the DataFrame helper requires a literal shift amount,
     # the SQL function accepts a column
@@ -458,6 +489,63 @@ def q_simhash_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vote",
             (F.col("vote") > 0).cast("int").alias("bit_value"),
         )
+    )
+
+
+def q_extent_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """inferTypeAndCount over the derived extent column (record-utils.js
+    415-478) — the vectorized UDF vs an independent SQL reimplementation."""
+    from dedup.infer import infer_type_and_count_udf
+
+    pages = load_pages(spark, sf_dir)
+    inf = infer_type_and_count_udf(F.col("extent"))
+    return pages.select(
+        "url",
+        "extent",
+        inf["type"].alias("inferred_type"),
+        inf["count"].cast("long").alias("inferred_count"),
+    )
+
+
+def q_pair_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full production pair-verification gate stack (canMerge
+    analogue, marc-record-merge-melindautils.js:84-104) over
+    deterministic adjacent-doc pairs: source overlap, type, stop-field
+    rules, diacritics, count gate, extent gate — reasons joined in
+    evaluation order. Exercises pair_reasons exactly as run_dedup wires
+    it (rule_columns + count_columns + extent)."""
+    from dedup.pages import pages_sources
+    from dedup.verify import attach_features, pair_reasons, url_features
+
+    pages = with_normalized(load_pages(spark, sf_dir))
+    feats = url_features(pages, pages_sources(pages))
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    u = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example/doc/"),
+        F.col("doc_id").cast("string"),
+    )
+    ids = docs.select(F.col("doc_id"), u.alias("url"))
+    pairs = (
+        ids.alias("x")
+        .join(ids.alias("y"), F.col("x.doc_id") + 1 == F.col("y.doc_id"))
+        .select(F.col("x.url").alias("url_a"), F.col("y.url").alias("url_b"))
+    )
+    out = pair_reasons(
+        attach_features(pairs, feats),
+        CFG,
+        rule_columns={
+            t: (f"a_{t}", f"b_{t}")
+            for t in ("canonical_links", "meta_tags", "tracking_ids")
+        },
+        count_columns={"headings": ("a_headings", "b_headings")},
+    )
+    return out.select(
+        "url_a",
+        "url_b",
+        F.concat_ws("|", "reasons").alias("reasons_str"),
+        F.col("can_merge").cast("int").alias("can_merge"),
     )
 
 
@@ -492,6 +580,8 @@ QUERIES = {
     "substring_containment": q_substring_pairs,
     "simhash_bits": q_simhash_bits,
     "knn_cosine_topk": q_knn_cosine,
+    "extent_inference": q_extent_infer,
+    "pair_gate_reasons": q_pair_gates,
 }
 
 
@@ -690,7 +780,7 @@ FROM clean a JOIN clean b
 ORACLES["simhash_bits"] = f"""
 WITH {_PAGES_CTE.strip()}, {_NORM_CTE.strip()}, {_CLEAN_CTE.strip()},
 toks AS (
-  SELECT DISTINCT url, {_h60("tok")} AS th
+  SELECT url, {_h60("tok")} AS th
   FROM (SELECT url, unnest(string_split(norm_text, ' ')) AS tok FROM clean)
 ),
 bits AS (SELECT unnest(range(0, 64))::INT AS bit)
@@ -699,6 +789,129 @@ SELECT t.url, b.bit::BIGINT AS bit,
        (sum(((t.th >> b.bit) & 1) * 2 - 1) > 0)::INT AS bit_value
 FROM toks t CROSS JOIN bits b
 GROUP BY t.url, b.bit
+"""
+
+ORACLES["extent_inference"] = f"""
+WITH {_PAGES_CTE.strip()}
+SELECT url, extent,
+       CASE WHEN {_INFER_COUNT_SQL.format(x='extent').strip()} IS NOT NULL
+            THEN 'volume' ELSE NULL END AS inferred_type,
+       ({_INFER_COUNT_SQL.format(x='extent').strip()})::BIGINT AS inferred_count
+FROM pages
+"""
+
+# pair_gate_reasons: independent SQL reimplementation of the full
+# canMerge gate stack over adjacent-doc pairs. Containment under the
+# normalizing comparator uses set semantics (list_has_all) — the derived
+# arrays have unique elements, where multiset == set containment.
+_GATE_NORM = "list_transform({x}, v -> trim(regexp_replace(lower(v), '[^a-z0-9åäö]+', ' ', 'g')))"
+_EXTENT_SQL = (
+    "(CASE WHEN doc_id % 7 = 0 THEN ((doc_id % 4 + 1)::VARCHAR || ' nid.') "
+    "WHEN doc_id % 7 = 1 THEN 'XV, 514 s. :' "
+    "WHEN doc_id % 7 = 2 THEN 'kartta' "
+    "ELSE NULL END)"
+)
+_EXTENT_CNT = _INFER_COUNT_SQL.format(x=_EXTENT_SQL).strip()
+ORACLES["pair_gate_reasons"] = f"""
+WITH dpages AS (
+  SELECT doc_id,
+         'https://' || source || '.example/doc/' || doc_id::VARCHAR AS url,
+         text, lang, source,
+         CASE WHEN doc_id % 5 = 0
+              THEN ['https://canon.example/' || md5(text)]
+              ELSE []::VARCHAR[] END AS cl,
+         CASE WHEN doc_id % 3 = 0
+              THEN ['og:lang=' || lang] ELSE []::VARCHAR[] END AS mt,
+         CASE WHEN doc_id % 37 = 0
+              THEN ['trk-' || doc_id::VARCHAR]
+              ELSE []::VARCHAR[] END AS ti,
+         CASE WHEN doc_id % 29 = 0
+              THEN [substr(text, 1, 24), 'h2']
+              ELSE [substr(text, 1, 24)] END AS hd,
+         {_EXTENT_SQL} AS extent,
+         regexp_matches(text, '[^ -~,''öäå]') AS diac,
+         {_EXTENT_CNT} AS vol_cnt
+  FROM documents
+),
+prs AS (
+  SELECT a.url AS url_a, b.url AS url_b,
+         a.source AS a_src, b.source AS b_src,
+         a.lang AS a_lang, b.lang AS b_lang,
+         a.diac AS a_diac, b.diac AS b_diac,
+         a.cl AS a_cl, b.cl AS b_cl,
+         a.mt AS a_mt, b.mt AS b_mt,
+         a.ti AS a_ti, b.ti AS b_ti,
+         a.hd AS a_hd, b.hd AS b_hd,
+         a.extent AS a_ext, b.extent AS b_ext,
+         a.vol_cnt AS a_cnt, b.vol_cnt AS b_cnt
+  FROM dpages a JOIN dpages b ON a.doc_id + 1 = b.doc_id
+),
+reasons AS (
+  SELECT url_a, url_b,
+    list_filter([
+      -- noSameLOWTags
+      CASE WHEN a_src = b_src
+           THEN 'Both records have have LOW tag: ' || a_src END,
+      -- sameType
+      CASE WHEN b_lang <> a_lang
+           THEN 'Records are of different type (leader/6): ' || b_lang ||
+                ' - ' || a_lang END,
+      -- canonical_links: identical | preferredIsSupersetExceptIfEmpty
+      CASE WHEN list_sort(a_cl) <> list_sort(b_cl)
+            AND len(a_cl) > 0
+            AND list_has_all({_GATE_NORM.format(x='b_cl')},
+                             {_GATE_NORM.format(x='a_cl')})
+           THEN 'Preferred record has stopfields and they are a subset of ' ||
+                'the other record in field: canonical_links' END,
+      CASE WHEN list_sort(a_cl) <> list_sort(b_cl)
+            AND len(a_cl) > 0
+            AND NOT list_has_all({_GATE_NORM.format(x='a_cl')},
+                                 {_GATE_NORM.format(x='b_cl')})
+           THEN 'Other is not subset: canonical_links' END,
+      -- meta_tags: identical | otherHas (fallback only)
+      CASE WHEN list_sort(a_mt) <> list_sort(b_mt)
+            AND len(a_mt) > 0 AND len(b_mt) > 0
+           THEN 'Both records have differing stop fields. Automated ' ||
+                'handling is not currently possible for: meta_tags' END,
+      -- tracking_ids: neitherHas (fallback, else presence reasons)
+      CASE WHEN len(a_ti) > 0 AND len(b_ti) > 0
+            AND list_sort(a_ti) <> list_sort(b_ti)
+           THEN 'Both records have differing stop fields. Automated ' ||
+                'handling is not currently possible for: tracking_ids' END,
+      CASE WHEN NOT (len(a_ti) > 0 AND len(b_ti) > 0
+                     AND list_sort(a_ti) <> list_sort(b_ti))
+            AND len(b_ti) > 0
+           THEN 'Other record has stop fields. Automated handling is not ' ||
+                'currently possible for: tracking_ids' END,
+      CASE WHEN NOT (len(a_ti) > 0 AND len(b_ti) > 0
+                     AND list_sort(a_ti) <> list_sort(b_ti))
+            AND len(a_ti) > 0
+           THEN 'Preferred record has stop fields. Automated handling is ' ||
+                'not currently possible for: tracking_ids' END,
+      -- checkDiacriticsFromTitle
+      CASE WHEN b_diac AND NOT a_diac
+           THEN 'Other fields has diacritics in field: text' END,
+      -- sameAuthorType count gate
+      CASE WHEN len(a_hd) <> len(b_hd)
+           THEN 'Field count mismatch for field headings' END,
+      -- same300TypeAndCount
+      CASE WHEN (a_ext IS NOT NULL OR b_ext IS NOT NULL)
+            AND (a_ext IS DISTINCT FROM b_ext)
+           THEN CASE
+             WHEN a_cnt IS NULL AND b_cnt IS NULL
+               THEN 'Could not infer the meaning of 300a.'
+             WHEN a_cnt IS NOT NULL AND b_cnt IS NOT NULL AND b_cnt <> a_cnt
+               THEN 'Records have different inferred count of types ' ||
+                    '(from field 300a): ' || b_cnt::VARCHAR || ' - ' ||
+                    a_cnt::VARCHAR
+           END END
+    ], x -> x IS NOT NULL) AS rs
+  FROM prs
+)
+SELECT url_a, url_b,
+       coalesce(array_to_string(rs, '|'), '') AS reasons_str,
+       (len(rs) = 0)::INT AS can_merge
+FROM reasons
 """
 
 ORACLES["knn_cosine_topk"] = """

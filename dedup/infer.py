@@ -20,8 +20,11 @@ import re
 import pandas as pd
 from pyspark.sql import Column, functions as F, types as T
 
+# ^-anchored like the reference's VOLUMES regexes (record-utils.js:423-428):
+# a roman-numeral preface wins over an embedded volume count, so
+# 'XV, 2 vol.' is ('volume', 1) via the preface rule, not ('volume', 2)
 _EXPLICIT_VOL = re.compile(
-    r"(?:^|\D)(\d+)\s*(?:volumes?|vol\.?|nid\.?|v\.)(?:$|[^\w])", re.IGNORECASE
+    r"^(\d+)\s*(?:volumes?|vol\.?|nid\.?|v\.)", re.IGNORECASE
 )
 # trailing page-alias token: '514 s.' / '514 p' / '514 pages' / 'sivua'
 _PAGES_ALIAS = re.compile(
@@ -70,41 +73,50 @@ def infer_type_and_count_udf(values: pd.Series) -> pd.DataFrame:
     )
 
 
-def extent_mismatch_reason(a: Column, b: Column) -> Column:
-    """Pair predicate for the same300TypeAndCount validator
-    (mergeability-validators.js:152-178): both sides inferred structs;
-    emits the reference's exact reason strings."""
-    both_null = a.isNull() & b.isNull()
-    return F.when(
-        both_null, F.array(F.lit("Could not infer the meaning of 300a."))
-    ).otherwise(
-        F.concat(
-            F.when(
-                a["type"] != b["type"],
-                F.array(
-                    F.concat(
-                        F.lit(
-                            "Inferred record types differ (from field 300a): + "
-                        ),
-                        b["type"],
-                        F.lit(" - "),
-                        a["type"],
-                    )
-                ),
-            ).otherwise(F.array().cast("array<string>")),
-            F.when(
-                (a["type"] == b["type"]) & (a["count"] != b["count"]),
-                F.array(
-                    F.concat(
-                        F.lit(
-                            "Records have different inferred count of types "
-                            "(from field 300a): "
-                        ),
-                        b["count"].cast("string"),
-                        F.lit(" - "),
-                        a["count"].cast("string"),
-                    )
-                ),
-            ).otherwise(F.array().cast("array<string>")),
+def extent_mismatch_reason(
+    a_raw: Column, b_raw: Column, a: Column, b: Column
+) -> Column:
+    """same300TypeAndCount (mergeability-validators.js:152-178) as an
+    array<string> reasons column. a_* = preferred side, b_* = other side;
+    a/b are the pre-inferred struct<type,count> columns (null type ⇔
+    uninferrable or raw null).
+
+    Reference control flow, preserved exactly:
+      * both raw values null → no check at all;
+      * raw values equal     → no check;
+      * raw differ, BOTH inferences fail → 'Could not infer …';
+      * raw differ, exactly one inference fails → allowed (no reason);
+      * raw differ, both infer → type mismatch, else count mismatch —
+        the reference throws at the first failure, so ONE reason max.
+    """
+    active = (a_raw.isNotNull() | b_raw.isNotNull()) & ~a_raw.eqNullSafe(b_raw)
+    a_ok, b_ok = a["type"].isNotNull(), b["type"].isNotNull()
+    reason = (
+        F.when(
+            ~a_ok & ~b_ok, F.lit("Could not infer the meaning of 300a.")
         )
+        .when(
+            a_ok & b_ok & (b["type"] != a["type"]),
+            F.concat(
+                F.lit("Inferred record types differ (from field 300a): + "),
+                b["type"],
+                F.lit(" - "),
+                a["type"],
+            ),
+        )
+        .when(
+            a_ok & b_ok & (b["count"] != a["count"]),
+            F.concat(
+                F.lit(
+                    "Records have different inferred count of types "
+                    "(from field 300a): "
+                ),
+                b["count"].cast("string"),
+                F.lit(" - "),
+                a["count"].cast("string"),
+            ),
+        )
+    )
+    return F.when(active & reason.isNotNull(), F.array(reason)).otherwise(
+        F.array().cast("array<string>")
     )

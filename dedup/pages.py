@@ -53,6 +53,35 @@ def documents_to_pages(docs: DataFrame) -> DataFrame:
         # kept as a convenience for the source-overlap guard; the canonical
         # side table shape is dedup/schema.py SOURCES_SCHEMA
         F.col("source"),
+        # typed metadata for the pair gates, derived deterministically so
+        # the DuckDB oracle reproduces them exactly (dedup/driver_queries
+        # _PAGES_CTE mirrors these verbatim). Content-derived values are
+        # shared by byte-identical copies; doc_id-derived presence makes
+        # every gate branch reachable on the driver table.
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.array(F.concat(F.lit("https://canon.example/"), F.md5(F.col("text")))),
+        ).otherwise(F.array().cast("array<string>")).alias("canonical_links"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.array(F.concat(F.lit("og:lang="), F.col("lang"))),
+        ).otherwise(F.array().cast("array<string>")).alias("meta_tags"),
+        F.when(
+            F.col("doc_id") % 37 == 0,
+            F.array(F.concat(F.lit("trk-"), F.col("doc_id").cast("string"))),
+        ).otherwise(F.array().cast("array<string>")).alias("tracking_ids"),
+        F.when(
+            F.col("doc_id") % 29 == 0,
+            F.array(F.substring("text", 1, 24), F.lit("h2")),
+        ).otherwise(F.array(F.substring("text", 1, 24))).alias("headings"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat((F.col("doc_id") % 4 + 1).cast("string"), F.lit(" nid.")),
+        )
+        .when(F.col("doc_id") % 7 == 1, F.lit("XV, 514 s. :"))
+        .when(F.col("doc_id") % 7 == 2, F.lit("kartta"))
+        .otherwise(F.lit(None).cast("string"))
+        .alias("extent"),
     )
 
 

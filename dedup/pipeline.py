@@ -6,6 +6,14 @@ CC iterations) and broadcasts (side tables). Channels (LSH / SimHash /
 substring) all feed the same verify → cluster → select tail, like the
 reference feeds every candidate pair through the same canMerge →
 applyPostMergeModifications tail.
+
+Cache discipline (measured on the 32-core sandbox): Spark's columnar
+block cache writes wide array columns slowly enough to dominate wall
+time, so the persisted working set is NARROW — normalized text + scalar
+features for `clean`, (uid, sig) for signatures. Shingle arrays are
+recomputed from the cached norm_text only for urls that survive
+candidate generation, never cached, never shuffled beyond the
+pair-verification join.
 """
 
 from __future__ import annotations
@@ -22,28 +30,35 @@ from dedup.candidates import (
 )
 from dedup.config import DedupConfig
 from dedup.cluster import assignments_with_singletons, connected_components
-from dedup.minhash import explode_bands, signatures
+from dedup.minhash import explode_bands, signatures, with_shingles
 from dedup.normalize import quarantine_filter, with_normalized
-from dedup.survivor import reprint_notes, select_survivors
+from dedup.survivor import (
+    apply_authorized_override,
+    reprint_notes,
+    select_survivors,
+)
 from dedup.verify import (
     attach_features,
     pair_reasons,
     url_features,
     verified_edges,
+    with_stat_parity,
 )
 
 
 @dataclass
 class DedupResult:
-    clean: DataFrame          # quarantine-filtered normalized pages
+    clean: DataFrame          # quarantine-filtered normalized pages (narrow)
     quarantined: DataFrame    # rows excluded before pairing
-    shingle_sets: DataFrame   # (url, shingles, sig) for representatives
+    shingle_sets: DataFrame   # (url, shingles, sig) for representatives (lazy)
     candidates: DataFrame     # raw LSH candidate pairs
     hot_buckets: DataFrame    # capped buckets (skew lineage)
-    pairs: DataFrame          # candidates + jaccard + reasons
+    pairs: DataFrame          # candidates + jaccard + reasons + stat columns
     edges: DataFrame          # verified edges, all channels
     assignments: DataFrame    # (url, cluster_id) for every clean url
-    survivors: DataFrame      # one row per cluster + lineage
+    survivors: DataFrame      # one accepted merged row per cluster + lineage
+    rejected: DataFrame       # post-merge-rejected survivor rows (quarantine
+                              # routing for the both-authorized case)
 
 
 def run_dedup(
@@ -51,6 +66,7 @@ def run_dedup(
     cfg: DedupConfig,
     sources: DataFrame | None = None,
     host_ids: DataFrame | None = None,
+    authorized_names: DataFrame | None = None,
     candidate_channels: list[DataFrame] | None = None,
     bypass_jaccard_channels: list[DataFrame] | None = None,
     run_id: str = "run-0",
@@ -65,17 +81,26 @@ def run_dedup(
       every pair through canMerge regardless of where it came from).
     bypass_jaccard_channels: (url_a, url_b) pairs whose similarity was
       already verified by channel-specific means (exact substring
-      containment) — they skip the Jaccard threshold but still pass the
-      reason gates (source overlap / type / diacritics / host...).
+      containment; SimHash Hamming ≤ d) — they skip the Jaccard
+      threshold but still pass the reason gates (source overlap / type /
+      diacritics / rules / host...).
+    authorized_names: (name_normalized, canonical) broadcast side table
+      for the post-merge authorized-format override
+      (post-merge-modifiers.js:203-240); both-authorized clusters are
+      routed to `rejected`, the reference's throw (:221-223).
     """
     from pyspark import StorageLevel
 
     norm = with_normalized(pages)
     clean = quarantine_filter(norm)
-    # the binary payload is never used past normalization — keep it out
-    # of the persisted working set and every downstream shuffle
-    if "html" in clean.columns:
-        clean = clean.drop("html")
+    # narrow working set: the binary payload is never used past
+    # normalization, and raw text reduces to its length (survivor
+    # ordering). norm_text stays — exact hashing and shingles recompute
+    # from it instead of caching wide arrays.
+    clean = clean.withColumn("text_len", F.length("text"))
+    for c in ("html", "text"):
+        if c in clean.columns:
+            clean = clean.drop(c)
     if persist:
         # clean feeds exact-grouping, signatures, features and members —
         # without a persist every downstream action re-scans + re-derives.
@@ -86,9 +111,21 @@ def run_dedup(
     # integer surrogate ids: every band/candidate/CC shuffle moves an
     # 8-byte long instead of a ~50-byte url string (the pipeline is
     # memory-bandwidth-bound at high core counts). xxhash64 keeps the
-    # mapping deterministic; at 10^12 docs switch to a 128-bit
-    # (two-column) surrogate — 64-bit birthday risk ≈ 2.7% there.
+    # mapping deterministic. Expected colliding pairs ≈ n²/2⁶⁵ — ~27k at
+    # the 10^12-doc design point, where the two-column 128-bit surrogate
+    # is required; at sandbox scales (≤10⁷) it is ≤ 3e-6 and the
+    # invariant below turns any collision from silent corruption into a
+    # loud failure.
     keyed = clean.withColumn("uid", F.xxhash64("url"))
+    if cfg.check_uid_collisions:
+        r = keyed.agg(
+            F.count("url").alias("n"), F.count_distinct("uid").alias("d")
+        ).collect()[0]
+        if r["n"] != r["d"]:
+            raise RuntimeError(
+                f"uid collision: {r['n']} urls → {r['d']} distinct xxhash64 "
+                "surrogates; rerun with a 128-bit surrogate key"
+            )
     kpages = keyed.select(
         F.col("uid").alias("url"),
         F.col("url").alias("real_url"),
@@ -114,11 +151,12 @@ def run_dedup(
     reps = representatives(groups)
     rep_pages = kpages.join(reps, "url")
 
-    # signatures + LSH candidates (representatives only)
-    sigs = signatures(rep_pages, cfg)
+    # signatures: only the narrow (uid, sig) projection is persisted —
+    # shingle arrays are recomputed for verification-surviving urls only
+    sig_full = signatures(rep_pages, cfg)
+    sigs = sig_full.select("url", "sig")
     if persist:
-        # sigs feed banding AND pair-verification joins (twice each):
-        # persist the narrow (uid, shingles, sig) projection only
+        # sigs feed banding AND the estimate pre-filter joins
         sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
     bands = explode_bands(sigs, cfg)
     raw_candidates, hot = lsh_candidates(bands, cfg)
@@ -147,7 +185,7 @@ def run_dedup(
         # join then ships the (much wider) shingle arrays for the
         # surviving ~5-10% only.
         all_candidates = _estimate_filter(all_candidates, sigs, groups, cfg)
-    with_j = _jaccard_incl_exact(all_candidates, sigs, groups)
+    with_j = _jaccard_incl_exact(all_candidates, rep_pages, groups, cfg)
     pairs = attach_features(with_j, feats)
     uid_hosts = (
         host_ids.join(
@@ -156,7 +194,23 @@ def run_dedup(
         if host_ids is not None
         else None
     )
-    pairs = pair_reasons(pairs, cfg, uid_hosts)
+    # production gate wiring: every rule/count/extent column present on
+    # the input pages participates, like the reference's canMerge runs
+    # its full validator list on every pair
+    rule_columns = {
+        t: (f"a_{t}", f"b_{t}")
+        for t in sorted(cfg.field_rules)
+        if t in kpages.columns
+    }
+    count_columns = {
+        t: (f"a_{t}", f"b_{t}") for t in cfg.count_fields if t in kpages.columns
+    }
+    pairs = pair_reasons(
+        pairs, cfg, uid_hosts,
+        rule_columns=rule_columns or None,
+        count_columns=count_columns or None,
+    )
+    pairs = with_stat_parity(pairs)
     edges = verified_edges(pairs, cfg, "lsh")
 
     if bypass_jaccard_channels:
@@ -164,7 +218,11 @@ def run_dedup(
         for ch in bypass_jaccard_channels[1:]:
             bypass = bypass.unionByName(to_uid_pairs(ch))
         bpairs = attach_features(bypass.distinct(), feats)
-        bpairs = pair_reasons(bpairs, cfg, uid_hosts)
+        bpairs = pair_reasons(
+            bpairs, cfg, uid_hosts,
+            rule_columns=rule_columns or None,
+            count_columns=count_columns or None,
+        )
         bedges = bpairs.filter(F.col("can_merge")).select(
             "url_a", "url_b",
             F.lit(1.0).alias("jaccard"), F.lit("bypass").alias("channel"),
@@ -200,6 +258,12 @@ def run_dedup(
         members, cfg, run_id=run_id, run_ts=run_ts
     )
     survivors = reprint_notes(members, survivors)
+    # post-merge tail (applyPostMergeModifications ordering,
+    # marc-record-merge-melindautils.js:122-178): the authorized-format
+    # override runs LAST and may reject the merge outright
+    survivors = apply_authorized_override(survivors, members, authorized_names)
+    rejected = survivors.filter(F.col("reject_reason").isNotNull())
+    survivors = survivors.filter(F.col("reject_reason").isNull())
 
     # result surfaces carry real urls
     pairs_out = (
@@ -219,13 +283,14 @@ def run_dedup(
     return DedupResult(
         clean=clean,
         quarantined=quarantined,
-        shingle_sets=sigs,
+        shingle_sets=sig_full,
         candidates=raw_candidates,
         hot_buckets=hot,
         pairs=pairs_out,
         edges=edges_out,
         assignments=members.select("url", "cluster_id"),
         survivors=survivors,
+        rejected=rejected,
     )
 
 
@@ -266,13 +331,27 @@ def _estimate_filter(
 
 
 def _jaccard_incl_exact(
-    candidates: DataFrame, sigs: DataFrame, groups: DataFrame
+    candidates: DataFrame,
+    rep_pages: DataFrame,
+    groups: DataFrame,
+    cfg: DedupConfig,
 ) -> DataFrame:
     """Jaccard for candidate pairs where both sides may be exact-dup
-    members: map each url to its representative's shingle set first."""
-    url_to_rep = groups.select("url", "rep_url")
-    rep_sh = sigs.select(F.col("url").alias("rep_url"), "shingles")
-    sh = url_to_rep.join(rep_sh, "rep_url").select("url", "shingles")
+    members: map each url to its representative's shingle set first.
+
+    Shingle arrays are recomputed (from the cached narrow norm_text) for
+    ONLY the representatives that still appear in a candidate pair after
+    the estimate pre-filter — the arrays never enter a cache and never
+    shuffle except through this final verification join."""
+    needed = candidates.select(
+        F.explode(F.array("url_a", "url_b")).alias("url")
+    ).distinct()
+    u2r = groups.select("url", "rep_url").join(needed, "url")
+    reps_needed = u2r.select(F.col("rep_url").alias("url")).distinct()
+    rep_sh = with_shingles(
+        rep_pages.join(reps_needed, "url"), cfg
+    ).select(F.col("url").alias("rep_url"), "shingles")
+    sh = u2r.join(rep_sh, "rep_url").select("url", "shingles")
     sa = sh.select(F.col("url").alias("url_a"), F.col("shingles").alias("sh_a"))
     sb = sh.select(F.col("url").alias("url_b"), F.col("shingles").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))

@@ -77,10 +77,12 @@ def field_rule_reasons(
     identical = _multisets_identical(o, p)
 
     reasons: list[Column] = []
-    has_superset_rule = (
-        "preferredIsSuperset" in rules or "preferredIsSupersetExceptIfEmpty" in rules
-    )
 
+    # The reference's rule dispatch is an else-if chain
+    # (validate-fields.js:47-91): preferredIsSuperset wins over
+    # preferredIsSupersetExceptIfEmpty, and the fallback branch (both
+    # present AND not setsIdentical) is mutually exclusive with
+    # neitherHas/onlyPreferredHas, which live in its else.
     if "preferredIsSuperset" in rules:
         p_subset_of_o = _multiset_subset(p, o)
         o_subset_of_p = _multiset_subset(o, p)
@@ -94,8 +96,7 @@ def field_rule_reasons(
             )
         )
         reasons.append(F.when(~o_subset_of_p, F.lit(f"Other is not subset: {tag}")))
-
-    if "preferredIsSupersetExceptIfEmpty" in rules:
+    elif "preferredIsSupersetExceptIfEmpty" in rules:
         p_subset_of_o = _multiset_subset(p, o)
         o_subset_of_p = _multiset_subset(o, p)
         reasons.append(
@@ -110,49 +111,49 @@ def field_rule_reasons(
         reasons.append(
             F.when(p_has & ~o_subset_of_p, F.lit(f"Other is not subset: {tag}"))
         )
-
-    if not has_superset_rule:
-        # both-present-and-differ fallback (validate-fields.js:68-71)
+    else:
+        # both-present-and-differ fallback (validate-fields.js:68-71);
+        # !setsIdentical is part of the condition, and the presence rules
+        # fire only when the fallback doesn't (the reference's inner else)
+        differing = o_has & p_has & ~identical
         reasons.append(
             F.when(
-                o_has & p_has,
+                differing,
                 F.lit(
                     "Both records have differing stop fields. Automated "
                     f"handling is not currently possible for: {tag}"
                 ),
             )
         )
-
-    if "neitherHas" in rules:
-        reasons.append(
-            F.when(
-                o_has,
-                F.lit(
-                    "Other record has stop fields. Automated handling is not "
-                    f"currently possible for: {tag}"
-                ),
+        if "neitherHas" in rules:
+            reasons.append(
+                F.when(
+                    ~differing & o_has,
+                    F.lit(
+                        "Other record has stop fields. Automated handling is not "
+                        f"currently possible for: {tag}"
+                    ),
+                )
             )
-        )
-        reasons.append(
-            F.when(
-                p_has,
-                F.lit(
-                    "Preferred record has stop fields. Automated handling is "
-                    f"not currently possible for: {tag}"
-                ),
+            reasons.append(
+                F.when(
+                    ~differing & p_has,
+                    F.lit(
+                        "Preferred record has stop fields. Automated handling is "
+                        f"not currently possible for: {tag}"
+                    ),
+                )
             )
-        )
-
-    if "onlyPreferredHas" in rules:
-        reasons.append(
-            F.when(
-                o_has,
-                F.lit(
-                    "Other record has stop fields. Automated handling is not "
-                    f"currently possible for: {tag}"
-                ),
+        if "onlyPreferredHas" in rules:
+            reasons.append(
+                F.when(
+                    ~differing & o_has,
+                    F.lit(
+                        "Other record has stop fields. Automated handling is not "
+                        f"currently possible for: {tag}"
+                    ),
+                )
             )
-        )
 
     combined = F.filter(
         F.array(*reasons), lambda r: r.isNotNull()

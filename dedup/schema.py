@@ -18,6 +18,19 @@ PAGES_SCHEMA = T.StructType(
         T.StructField("html", T.BinaryType(), True),
         T.StructField("text", T.StringType(), True),
         T.StructField("lang", T.StringType(), True),
+        # typed page metadata feeding the pair gates — the web analogues
+        # of the reference's configured MARC tags:
+        #   canonical_links / meta_tags / tracking_ids → the
+        #     checkFieldRequirements stop-field rules
+        #     (lib/mergeability-validators.js:95-100);
+        #   headings → the sameAuthorType count gate (:123-131);
+        #   extent → the same300TypeAndCount physical-extent gate
+        #     (:152-178).
+        T.StructField("canonical_links", T.ArrayType(T.StringType()), True),
+        T.StructField("meta_tags", T.ArrayType(T.StringType()), True),
+        T.StructField("tracking_ids", T.ArrayType(T.StringType()), True),
+        T.StructField("headings", T.ArrayType(T.StringType()), True),
+        T.StructField("extent", T.StringType(), True),
     ]
 )
 

@@ -1,15 +1,28 @@
-"""64-bit SimHash + Hamming-ball bucketing (SURVEY.md §7 stage 8).
+"""64-bit weighted SimHash + Hamming-ball bucketing (SURVEY.md §7 stage 8).
 
 SimHash (Charikar, STOC'02; Manku et al., WWW'07 near-dup detection):
-sign-sum of per-token hash bits. Candidate generation uses the
-pigeonhole chunk trick from Manku et al.: split the 64-bit fingerprint
-into `chunks` pieces; two fingerprints within Hamming distance d < chunks
-share at least one exact chunk → equi-joinable bucket keys.
+sign-sum of per-token hash bits, weighted by term frequency (the Manku
+et al. production form — unweighted sign-sums degenerate when documents
+share a small vocabulary, because the token SET stops discriminating).
+Candidate generation uses the pigeonhole chunk trick from Manku et al.:
+split the 64-bit fingerprint into `chunks` pieces; two fingerprints
+within Hamming distance d < chunks share at least one exact chunk →
+equi-joinable bucket keys.
 
-The fingerprint is computed in one Arrow-vectorized pandas UDF over the
-per-doc token-hash arrays (token hashing stays JVM-side via xxhash64
-inside `transform`); bucketing and the Hamming verify
-(`bit_count(a ^ b)`) are pure Column expressions.
+What the channel contributes beyond MinHash/LSH: token-multiset
+similarity is ORDER-INSENSITIVE, so reordered near-duplicates (shuffled
+word order, reflowed layout) keep Hamming ≈ 0 while their character-
+shingle Jaccard collapses far below the 0.8 threshold. Verified pairs
+(bit_count(a^b) <= max_hamming) therefore enter the pipeline as a
+BYPASS-Jaccard channel — Hamming is the channel's own verification,
+like each reference validator trusts its own check — and still pass
+every reason gate.
+
+The fingerprint is computed in one Arrow-vectorized pandas UDF with a
+batched numpy kernel (one segmented reduceat over the whole batch, no
+per-document Python loop); token hashing stays JVM-side via xxhash64
+inside `transform`; bucketing and the Hamming verify are pure Column
+expressions.
 """
 
 from __future__ import annotations
@@ -24,32 +37,70 @@ from dedup.hashing import h60
 
 
 def token_hashes_expr(norm_col: Column, cfg: DedupConfig) -> Column:
-    """Distinct token hashes of the normalized text, JVM-side."""
+    """Per-occurrence token hashes of the normalized text, JVM-side.
+    Multiplicity is kept — the weighted sign-sum needs term frequency."""
     toks = F.split(norm_col, " ")
     if cfg.hash_mode == "portable":
-        return F.array_distinct(F.transform(toks, h60))
-    return F.array_distinct(F.transform(toks, lambda t: F.xxhash64(t)))
+        return F.transform(toks, h60)
+    return F.transform(toks, lambda t: F.xxhash64(t))
+
+
+def simhash_batch(
+    concat_hashes: np.ndarray, offsets: np.ndarray, bits: int = 64
+) -> np.ndarray:
+    """Batched weighted SimHash: unpack every token hash's bits once for
+    the whole Arrow batch, segmented-sum per document (np.add.reduceat),
+    sign → packed fingerprint. Returns int64 (n_docs,).
+
+    concat_hashes: all docs' token hashes concatenated (uint64, with
+    multiplicity); offsets: start index per doc (offsets[0] == 0)."""
+    shifts = np.arange(bits, dtype=np.uint64)
+    bitmat = (
+        (concat_hashes[:, None] >> shifts[None, :]) & np.uint64(1)
+    ).astype(np.int32)  # (n_hashes, bits)
+    ones = np.add.reduceat(bitmat, offsets, axis=0)  # (n_docs, bits)
+    lens = np.diff(np.append(offsets, len(concat_hashes)))
+    margins = 2 * ones - lens[:, None]
+    fp_bits = (margins > 0).astype(np.uint64)
+    packed = (fp_bits << shifts[None, :]).sum(axis=1, dtype=np.uint64)
+    return packed.astype(np.int64)
 
 
 def _simhash_udf(bits: int):
     @F.pandas_udf(T.LongType())
     def simhash(token_hashes: pd.Series) -> pd.Series:
-        out = np.zeros(len(token_hashes), dtype=np.int64)
-        masks = np.uint64(1) << np.arange(bits, dtype=np.uint64)  # (bits,)
-        for i, arr in enumerate(token_hashes):
-            if arr is None or len(arr) == 0:
-                continue
-            x = np.asarray(arr, dtype=np.int64).view(np.uint64)  # (n,)
-            # vote per bit: +1 if set, -1 if clear
-            bitmat = (x[:, None] & masks[None, :]) != 0  # (n, bits)
-            votes = bitmat.sum(axis=0) * 2 - len(x)
-            fp = np.uint64(0)
-            for b in np.nonzero(votes > 0)[0]:
-                fp |= np.uint64(1) << np.uint64(b)
-            out[i] = np.int64(fp.astype(np.int64))
+        arrs = [
+            np.asarray(a, dtype=np.int64).view(np.uint64)
+            if a is not None and len(a) > 0
+            else None
+            for a in token_hashes
+        ]
+        nonempty = [a for a in arrs if a is not None]
+        if not nonempty:
+            return pd.Series([0] * len(arrs), dtype="int64")
+        concat = np.concatenate(nonempty)
+        lens = np.fromiter((len(a) for a in nonempty), dtype=np.int64)
+        offsets = np.zeros(len(nonempty), dtype=np.int64)
+        np.cumsum(lens[:-1], out=offsets[1:])
+        fps = simhash_batch(concat, offsets, bits)
+        out, k = np.zeros(len(arrs), dtype=np.int64), 0
+        for i, a in enumerate(arrs):
+            if a is not None:
+                out[i] = fps[k]
+                k += 1
         return pd.Series(out)
 
     return simhash
+
+
+def simhash_reference(token_hashes: np.ndarray, bits: int = 64) -> int:
+    """Single-doc reference kernel (unit-test oracle for the batch)."""
+    x = np.asarray(token_hashes, dtype=np.uint64)
+    shifts = np.arange(bits, dtype=np.uint64)
+    bitm = ((x[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+    margins = 2 * bitm.sum(axis=0) - len(x)
+    fp = ((margins > 0).astype(np.uint64) << shifts).sum(dtype=np.uint64)
+    return int(fp.astype(np.int64))
 
 
 def with_simhash(pages_with_norm: DataFrame, cfg: DedupConfig) -> DataFrame:
@@ -81,10 +132,12 @@ def chunk_keys_expr(cfg: DedupConfig) -> Column:
 def simhash_candidates(
     simhashed: DataFrame, cfg: DedupConfig
 ) -> tuple[DataFrame, DataFrame]:
-    """(url, simhash) → candidate pairs within the Hamming ball.
+    """(url, simhash) → verified pairs within the Hamming ball.
 
     Pigeonhole guarantee: distance ≤ chunks-1 ⇒ some chunk equal; we
-    additionally verify bit_count(xor) ≤ max_hamming exactly.
+    additionally verify bit_count(xor) ≤ max_hamming exactly. The output
+    is Hamming-VERIFIED — feed it to run_dedup as a bypass_jaccard
+    channel (reason gates still apply).
     """
     exploded = simhashed.select(
         "url", "simhash", F.explode(chunk_keys_expr(cfg)).alias("ck")

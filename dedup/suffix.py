@@ -91,15 +91,33 @@ def fingerprint_table(
 def substring_candidates(
     pages_with_norm: DataFrame, cfg: DedupConfig
 ) -> tuple[DataFrame, DataFrame]:
-    """Candidate pairs sharing >= substring_min_shared fingerprints."""
-    fps = fingerprint_table(pages_with_norm, cfg)
-    pairs, hot = pairs_from_buckets(fps, ["fp"], cfg)
-    counted = (
-        pairs.groupBy("url_a", "url_b")
-        .agg(F.count(F.lit(1)).alias("shared_fps"))
-        .filter(F.col("shared_fps") >= cfg.substring_min_shared)
+    """Candidate pairs sharing >= substring_min_shared fingerprints.
+
+    Exact-duplicate texts are collapsed to one representative BEFORE
+    fingerprinting — identical texts have identical fingerprint sets, so
+    a family of byte-identical copies would otherwise flood every one of
+    its fingerprint buckets past the hot cap and route the true
+    containment pair through an unrelated star hub (losing it). The
+    run_dedup exact channel reconnects members to their representative.
+    """
+    reps = (
+        pages_with_norm.groupBy(F.xxhash64("norm_text").alias("th"))
+        .agg(F.min("url").alias("url"))
+        .select("url")
     )
-    return counted, hot
+    rep_pages = pages_with_norm.join(reps, "url")
+    fps = fingerprint_table(rep_pages, cfg)
+    # min_collisions carries the shared-fingerprint threshold: pair
+    # multiplicity (number of fingerprint buckets a pair co-occurs in)
+    # IS the shared-fingerprint count, computed inside the bucket
+    # expansion on slim pair rows.
+    pairs, hot = pairs_from_buckets(
+        fps, ["fp"], cfg,
+        min_collisions=cfg.substring_min_shared,
+        keep_collisions=True,
+        max_bucket=cfg.substring_max_bucket,
+    )
+    return pairs.withColumnRenamed("n_collisions", "shared_fps"), hot
 
 
 def verify_containment(

@@ -26,25 +26,51 @@ from dedup.rules import validate_fields_reasons
 MERGE_ERROR_PREFIX = "MergeValidationError: "
 
 
+# optional per-page columns carried into pair verification when present:
+# rule-engine array fields (checkFieldRequirements analogues), count-gate
+# fields (sameAuthorType/identicalCount analogues), the physical-extent
+# string (same300TypeAndCount analogue), component flag, surrogate-id
+# back-reference.
+OPTIONAL_FEATURE_COLS = (
+    "is_component",
+    "real_url",
+    "canonical_links",
+    "meta_tags",
+    "tracking_ids",
+    "headings",
+    "extent",
+)
+
+
 def url_features(pages_with_norm: DataFrame, sources: DataFrame | None) -> DataFrame:
     """Per-url feature table consumed by pair verification.
 
     pages_with_norm: output of normalize.with_normalized (+ optional
-    `is_component` bool and rule-engine array columns).
+    columns per OPTIONAL_FEATURE_COLS).
     sources: (url, source, source_local_id) side table; None ⇒ no
     source-overlap guard.
     """
+    text_len = (
+        F.col("text_len")
+        if "text_len" in pages_with_norm.columns
+        else F.length("text")
+    )
     cols = [
         F.col("url"),
         F.col("lang"),
         F.col("has_diacritics"),
         F.col("warc_ts"),
-        F.length("text").alias("text_len"),
+        text_len.alias("text_len"),
     ]
-    opt = [
-        c for c in ("is_component", "real_url") if c in pages_with_norm.columns
-    ]
+    opt = [c for c in OPTIONAL_FEATURE_COLS if c in pages_with_norm.columns]
     df = pages_with_norm.select(*cols, *opt)
+    if "extent" in df.columns:
+        # inferTypeAndCount once per url (vectorized), not once per pair
+        from dedup.infer import infer_type_and_count_udf
+
+        df = df.withColumn(
+            "extent_inferred", infer_type_and_count_udf(F.col("extent"))
+        )
     if sources is not None:
         agg = sources.groupBy("url").agg(
             F.sort_array(F.collect_set("source")).alias("sources")
@@ -120,6 +146,16 @@ def pair_reasons(
         )
     )
 
+    # checkFieldRequirements (mergeability-validators.js:101-107) via the
+    # validate-fields rule engine on configured pair array columns —
+    # slot 4 in the reference's check list (marc-record-merge-
+    # melindautils.js:84-96), between sameType and the diacritics gate.
+    if rule_columns:
+        other_cols = {t: F.col(b) for t, (_, b) in rule_columns.items()}
+        pref_cols = {t: F.col(a) for t, (a, _) in rule_columns.items()}
+        cfg_rules = {t: cfg.field_rules[t] for t in rule_columns}
+        parts.append(validate_fields_reasons(cfg_rules, other_cols, pref_cols))
+
     # checkDiacriticsFromTitle (mergeability-validators.js:109-114 via
     # record-utils.js:349-362): other has diacritics, preferred hasn't.
     parts.append(
@@ -128,6 +164,41 @@ def pair_reasons(
             F.lit("Other fields has diacritics in field: text"),
         )
     )
+
+    # sameAuthorType / identicalCount (mergeability-validators.js:115-131):
+    # the reference throws at the FIRST mismatching tag of its configured
+    # list, so at most one count reason fires, in configuration order.
+    if count_columns:
+        chain = F.lit(None).cast("string")
+        first = None
+        for tag, (a_col, b_col) in count_columns.items():
+            cond = F.size(F.coalesce(F.col(a_col), F.array())) != F.size(
+                F.coalesce(F.col(b_col), F.array())
+            )
+            msg = F.lit(f"Field count mismatch for field {tag}")
+            first = (
+                F.when(cond, msg) if first is None else first.when(cond, msg)
+            )
+        chain = first
+        parts.append(
+            F.when(chain.isNotNull(), F.array(chain)).otherwise(
+                F.array().cast("array<string>")
+            )
+        )
+
+    # same300TypeAndCount (mergeability-validators.js:152-178) on the
+    # physical-extent analogue column, pre-inferred per url.
+    if "a_extent" in pairs.columns:
+        from dedup.infer import extent_mismatch_reason
+
+        parts.append(
+            extent_mismatch_reason(
+                F.col("a_extent"),
+                F.col("b_extent"),
+                F.col("a_extent_inferred"),
+                F.col("b_extent_inferred"),
+            )
+        )
 
     # notComponentRecord (mergeability-validators.js:237-252)
     if "a_is_component" in pairs.columns:
@@ -172,31 +243,56 @@ def pair_reasons(
             )
         )
 
-    # sameAuthorType / identicalCount (mergeability-validators.js:115-131):
-    # per-configured-field count equality, message verbatim.
-    for tag, (a_col, b_col) in sorted((count_columns or {}).items()):
-        parts.append(
-            _reason_when(
-                F.size(F.coalesce(F.col(a_col), F.array()))
-                != F.size(F.coalesce(F.col(b_col), F.array())),
-                F.lit(f"Field count mismatch for field {tag}"),
-            )
-        )
-
-    # checkFieldRequirements (mergeability-validators.js:101-107) via the
-    # validate-fields rule engine on configured pair array columns.
-    if rule_columns:
-        other_cols = {t: F.col(b) for t, (_, b) in rule_columns.items()}
-        pref_cols = {t: F.col(a) for t, (a, _) in rule_columns.items()}
-        cfg_rules = {t: cfg.field_rules[t] for t in rule_columns}
-        parts.append(validate_fields_reasons(cfg_rules, other_cols, pref_cols))
-
     reasons = parts[0]
     for p in parts[1:]:
         reasons = F.concat(reasons, p)
     return df.withColumn("reasons", reasons).withColumn(
         "can_merge", F.size("reasons") == 0
     )
+
+
+def with_stat_parity(pairs: DataFrame) -> DataFrame:
+    """Stat-only parity columns — the reference's non-fatal per-pair
+    logging inside canMerge (marc-record-merge-melindautils.js:106-114):
+
+    * `stat_245_msgs` — validateFields({'245': preferredIsSuperset}) on
+      the headings column (the 245 analogue), messages verbatim; the
+      reference debug()s them as 'STAT 245] …' without failing the pair.
+    * `stat_diacritics_msgs` — checkForDiacritics (record-utils.js:
+      325-347), the SYMMETRIC variant: both / preferred-only /
+      other-only messages ('STAT DIAC] …').
+
+    Neither column affects `reasons`/`can_merge`; the pipeline surfaces
+    them and cli aggregates them into StageMetrics counters.
+    """
+    from dedup.rules import field_rule_reasons
+
+    out = pairs
+    if "a_headings" in pairs.columns:
+        out = out.withColumn(
+            "stat_245_msgs",
+            field_rule_reasons(
+                "headings",
+                F.col("b_headings"),
+                F.col("a_headings"),
+                ["preferredIsSuperset"],
+            ),
+        )
+    else:
+        out = out.withColumn(
+            "stat_245_msgs", F.array().cast("array<string>")
+        )
+    p_d, o_d = F.col("a_has_diacritics"), F.col("b_has_diacritics")
+    out = out.withColumn(
+        "stat_diacritics_msgs",
+        F.when(
+            p_d & o_d, F.array(F.lit("Both fields have diacritics in field: text"))
+        )
+        .when(p_d, F.array(F.lit("Preferred fields has diacritics in field: text")))
+        .when(o_d, F.array(F.lit("Other fields has diacritics in field: text")))
+        .otherwise(F.array().cast("array<string>")),
+    )
+    return out
 
 
 def jaccard_on_pairs(candidates: DataFrame, shingle_sets: DataFrame) -> DataFrame:

@@ -27,6 +27,12 @@ def test_reference_golden_cases():
         assert infer_type_and_count(raw) == expected, raw
 
 
+def test_roman_preface_beats_embedded_volume_count():
+    # reference VOLUMES regexes are ^-anchored (record-utils.js:423-428):
+    # 'XV, 2 vol.' falls through to IMPLICIT_VOLUME_WITH_PREFACE → count 1
+    assert infer_type_and_count("XV, 2 vol.") == ("volume", 1)
+
+
 def test_uninferrable_returns_none():
     assert infer_type_and_count("kartta") is None
     assert infer_type_and_count("") is None

@@ -1,12 +1,18 @@
-"""End-to-end dedup on the planted synthetic corpus (SURVEY.md §5 item 3).
+"""End-to-end dedup on the planted synthetic corpus (SURVEY.md §5 item 3),
+run with the PRODUCTION channel set (LSH + exact + SimHash bypass +
+substring bypass — cli.py's default).
 
 Asserts:
-  * dup-pair recall ≥ 0.99 over planted exact/near/simhash_near kinds
-    (BASELINE.json metric) — measured as: dup doc lands in the same
-    cluster as its base.
+  * dup-pair recall ≥ 0.99 over planted exact/near/simhash_near/substring
+    kinds (BASELINE.json metric) — measured as: dup doc lands in the same
+    cluster as its base. simhash_near (word-order shuffles) and substring
+    (containment) dups sit BELOW the 0.8 char-shingle Jaccard threshold,
+    so their channels are load-bearing here.
   * false-merge control: boilerplate and unique docs stay unmerged.
   * source-overlap guard blocks the direct pair for source_blocked docs
     with the reference's exact message.
+  * rule/count/extent gates block their planted ≥0.8-Jaccard kinds with
+    the reference's exact messages.
   * quarantined docs never reach pairing.
   * survivor selection is deterministic and follows the preference order.
 """
@@ -18,7 +24,10 @@ from pyspark.sql import functions as F
 
 from dedup.config import DedupConfig
 from dedup.corpus import corpus_dataframes
+from dedup.normalize import quarantine_filter, with_normalized
 from dedup.pipeline import run_dedup
+from dedup.simhash import simhash_candidates, with_simhash
+from dedup.suffix import substring_edges
 
 
 @pytest.fixture(scope="module")
@@ -27,7 +36,17 @@ def result(spark):
     # hot-bucket star fallback at this corpus size
     cfg = DedupConfig(max_bucket_size=8)
     pages, truth, sources = corpus_dataframes(spark, n_docs=800, seed=42)
-    res = run_dedup(pages, cfg, sources=sources)
+    clean = quarantine_filter(with_normalized(pages))
+    sim = with_simhash(clean, cfg).select("url", "simhash")
+    sim_pairs, _ = simhash_candidates(sim, cfg)
+    sub_edges, _ = substring_edges(clean, cfg)
+    res = run_dedup(
+        pages, cfg, sources=sources,
+        bypass_jaccard_channels=[
+            sim_pairs.select("url_a", "url_b"),
+            sub_edges.select("url_a", "url_b"),
+        ],
+    )
     assign = res.assignments.cache()
     truth = truth.cache()
     return res, assign, truth
@@ -42,7 +61,9 @@ def test_recall_on_planted_dups(result):
         .select(F.col("true_cluster_id").alias("cid"), F.col("url").alias("base_url"))
     )
     dups = (
-        truth.filter(F.col("dup_kind").isin("exact", "near", "simhash_near"))
+        truth.filter(
+            F.col("dup_kind").isin("exact", "near", "simhash_near", "substring")
+        )
         .select(F.col("true_cluster_id").alias("cid"), F.col("url").alias("dup_url"))
         .join(base_urls, "cid")
     )
@@ -88,6 +109,103 @@ def test_source_blocked_pairs_emit_reference_reason(result):
     )
     assert with_reason.count() > 0
     assert with_reason.filter(F.col("can_merge")).count() == 0
+
+
+def _blocked_kind_pairs(res, truth, kind):
+    blocked = truth.filter(F.col("dup_kind") == kind).select("url")
+    n_blocked = blocked.count()
+    assert n_blocked > 0, f"no planted {kind} docs"
+    pairs = res.pairs.join(
+        blocked.withColumnRenamed("url", "url_b"), "url_b"
+    ).union(
+        res.pairs.join(blocked.withColumnRenamed("url", "url_a"), "url_a")
+        .select(res.pairs.columns)
+    )
+    return pairs
+
+
+def test_rule_blocked_pairs_emit_stop_field_reason(result):
+    # neitherHas on tracking_ids (checkFieldRequirements analogue,
+    # validate-fields.js:74-82) must block ≥0.8-Jaccard pairs
+    res, assign, truth = result
+    pairs = _blocked_kind_pairs(res, truth, "rule_blocked")
+    with_reason = pairs.filter(
+        F.exists(
+            "reasons",
+            lambda r: r.contains("record has stop fields")
+            & r.endswith("tracking_ids"),
+        )
+    )
+    assert with_reason.count() > 0
+    assert with_reason.filter(F.col("can_merge")).count() == 0
+
+
+def test_count_blocked_pairs_emit_count_mismatch(result):
+    # sameAuthorType analogue (mergeability-validators.js:123-131)
+    res, assign, truth = result
+    pairs = _blocked_kind_pairs(res, truth, "count_blocked")
+    with_reason = pairs.filter(
+        F.array_contains("reasons", "Field count mismatch for field headings")
+    )
+    assert with_reason.count() > 0
+    assert with_reason.filter(F.col("can_merge")).count() == 0
+
+
+def test_extent_blocked_pairs_emit_300a_reason(result):
+    # same300TypeAndCount analogue (mergeability-validators.js:152-178):
+    # both the count-differ and could-not-infer paths are planted
+    res, assign, truth = result
+    pairs = _blocked_kind_pairs(res, truth, "extent_blocked")
+    count_differ = pairs.filter(
+        F.exists(
+            "reasons",
+            lambda r: r.startswith(
+                "Records have different inferred count of types"
+            ),
+        )
+    )
+    could_not = pairs.filter(
+        F.array_contains("reasons", "Could not infer the meaning of 300a.")
+    )
+    assert count_differ.count() > 0
+    assert could_not.count() > 0
+    assert count_differ.filter(F.col("can_merge")).count() == 0
+    assert could_not.filter(F.col("can_merge")).count() == 0
+
+
+def test_blocked_kinds_never_join_base_cluster(result):
+    # the planted gate-violating docs must not land in their base's
+    # cluster (their truth id IS the base cluster id)
+    res, assign, truth = result
+    blocked = truth.filter(
+        F.col("dup_kind").isin("rule_blocked", "count_blocked", "extent_blocked")
+    )
+    base_urls = (
+        truth.filter(F.col("dup_kind") == "unique")
+        .select(F.col("true_cluster_id").alias("cid"), F.col("url").alias("base_url"))
+    )
+    joined = (
+        blocked.select(F.col("true_cluster_id").alias("cid"),
+                       F.col("url").alias("dup_url"))
+        .join(base_urls, "cid")
+        .join(assign.select(F.col("url").alias("dup_url"),
+                            F.col("cluster_id").alias("c1")), "dup_url")
+        .join(assign.select(F.col("url").alias("base_url"),
+                            F.col("cluster_id").alias("c2")), "base_url")
+    )
+    assert joined.count() > 0
+    assert joined.filter(F.col("c1") == F.col("c2")).count() == 0
+
+
+def test_stat_parity_columns_present(result):
+    # the reference's non-fatal STAT 245] / STAT DIAC] logging analogue
+    # rides on every pair row and never affects can_merge
+    res, assign, truth = result
+    row = res.pairs.agg(
+        F.sum(F.size("stat_245_msgs")).alias("n245"),
+        F.sum(F.size("stat_diacritics_msgs")).alias("ndiac"),
+    ).collect()[0]
+    assert row["ndiac"] is not None  # columns exist and aggregate
 
 
 def test_quarantine_prefilter(result):

@@ -64,22 +64,55 @@ def test_except_if_empty_rejects_nonempty_subset(spark):
 
 
 def test_neither_has(spark):
-    # reference evaluation order: both-differ fallback (:68-71) precedes
-    # the neitherHas branch (:74-82)
+    # reference dispatch: the both-differ fallback (:68-71) and the
+    # neitherHas branch (:74-82) are an if/else — both-present-and-differ
+    # emits ONLY the fallback reason
     r = _reasons(spark, ["x"], ["y"], ["neitherHas"], tag="027")
     assert r == [
         "Both records have differing stop fields. Automated handling is "
         "not currently possible for: 027",
+    ]
+    # one side only ⇒ fallback can't fire ⇒ that side's presence reason
+    r2 = _reasons(spark, ["x"], [], ["neitherHas"], tag="027")
+    assert r2 == [
+        "Other record has stop fields. Automated handling is not "
+        "currently possible for: 027",
+    ]
+
+
+def test_neither_has_identical_multisets_fire_presence_reasons(spark):
+    # identical multisets without the `identical` rule: the fallback's
+    # !setsIdentical is false, so control falls to the else branch and
+    # BOTH presence reasons fire (validate-fields.js:68-82)
+    r = _reasons(spark, ["x"], ["x"], ["neitherHas"], tag="027")
+    assert r == [
         "Other record has stop fields. Automated handling is not "
         "currently possible for: 027",
         "Preferred record has stop fields. Automated handling is "
         "not currently possible for: 027",
     ]
-    # one side only ⇒ only that side's reason
-    r2 = _reasons(spark, ["x"], [], ["neitherHas"], tag="027")
-    assert r2 == [
-        "Other record has stop fields. Automated handling is not "
-        "currently possible for: 027",
+
+
+def test_other_has_identical_multisets_allowed_without_identical_rule(spark):
+    # ["otherHas"] without `identical`: setsIdentical values don't trigger
+    # the fallback (its !setsIdentical guard), and otherHas has no branch
+    # of its own ⇒ can_merge stays true (validate-fields.js:66-71)
+    r = _reasons(spark, ["x"], ["x"], ["otherHas"], tag="880")
+    assert r == []
+
+
+def test_superset_precedence_over_except_if_empty(spark):
+    # else-if chain: when both superset rules are configured the
+    # unconditional preferredIsSuperset wins (validate-fields.js:47-65),
+    # so an empty preferred still yields both reasons
+    r = _reasons(
+        spark, ["a"], [],
+        ["preferredIsSuperset", "preferredIsSupersetExceptIfEmpty"],
+    )
+    assert r == [
+        "Preferred record has stopfields that are a subset of the other "
+        "record in field: 830",
+        "Other is not subset: 830",
     ]
 
 

@@ -21,9 +21,10 @@ def test_fingerprint_matches_bit_votes(spark):
 
     fps = {r["url"]: r["simhash"] for r in with_simhash(df, cfg).collect()}
 
+    # weighted form: one vote per token OCCURRENCE (no distinct)
     toks = df.select(
         "url", F.explode(token_hashes_expr(F.col("norm_text"), cfg)).alias("th")
-    ).distinct()
+    )
     bits = spark.range(64).select(F.col("id").cast("int").alias("bit"))
     votes = (
         toks.crossJoin(bits)
