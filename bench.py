@@ -80,6 +80,11 @@ def main() -> None:
     timed("q4_substring_channel",
           lambda: substring_edges(clean, cfg)[0].count())
 
+    # q7: distributed suffix-array shared-passage pass (synthetic corpus)
+    from dedup.suffix import lcp_pairs_distributed
+    timed("q7_lcp_distributed",
+          lambda: lcp_pairs_distributed(clean, cfg).count())
+
     # q5: text stats over the documents table
     timed("q5_textstats",
           lambda: with_textstats(load_pages(spark, SF_DIR))
@@ -91,6 +96,11 @@ def main() -> None:
     qm = np.vstack(qpdf["embedding"].to_numpy())
     timed("q6_ann_matmul_topk",
           lambda: matmul_topk(emb, qm, qpdf["vec_id"].to_numpy(), k=10).count())
+
+    # q8: LSH-bucketed all-pairs ANN (multi-table, multi-probe)
+    from dedup.embeddings import lsh_bucketed_topk
+    timed("q8_ann_lsh_topk",
+          lambda: lsh_bucketed_topk(emb, k=10).count())
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

@@ -22,9 +22,36 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 class CheckpointStore:
-    def __init__(self, root: str, run_id: str = "run-0") -> None:
+    """Stage snapshot writer.
+
+    table_format:
+      * "parquet" (default) — <root>/<stage>/ directories + MANIFEST.jsonl.
+      * "iceberg" — every stage appends/replaces an Iceberg table
+        `<table_prefix>.<stage>` via the DataFrameWriterV2 API
+        (`df.writeTo(...).using("iceberg")`), per the north_rule's
+        "checkpoints per-partition lineage + counters to Iceberg".
+        Needs a Spark session configured with an Iceberg catalog
+        (spark.sql.catalog.<name> = org.apache.iceberg.spark.SparkCatalog);
+        the sandbox image carries no Iceberg runtime jar, so the branch
+        is exercised by a writer-interface test and fails with a clear
+        message when the catalog is absent.
+    """
+
+    def __init__(
+        self,
+        root: str,
+        run_id: str = "run-0",
+        table_format: str = "parquet",
+        table_prefix: str | None = None,
+    ) -> None:
+        if table_format not in ("parquet", "iceberg"):
+            raise ValueError(f"unknown table_format {table_format!r}")
+        if table_format == "iceberg" and not table_prefix:
+            raise ValueError("iceberg format needs table_prefix, e.g. 'lake.dedup'")
         self.root = root
         self.run_id = run_id
+        self.table_format = table_format
+        self.table_prefix = table_prefix
         os.makedirs(root, exist_ok=True)
 
     @property
@@ -47,25 +74,56 @@ class CheckpointStore:
     def stage_path(self, stage: str) -> str:
         return os.path.join(self.root, stage)
 
+    def _iceberg_table(self, stage: str) -> str:
+        return f"{self.table_prefix}.{stage}"
+
+    def _write_iceberg(self, stage: str, df: DataFrame) -> DataFrame:
+        """DataFrameWriterV2 append-or-create against the stage table.
+        Atomicity comes from Iceberg's snapshot commit (no tmp-dir dance
+        like the parquet branch needs)."""
+        target = self._iceberg_table(stage)
+        try:
+            df.writeTo(target).using("iceberg").createOrReplace()
+        except Exception as e:  # most commonly: catalog/jar missing
+            raise RuntimeError(
+                f"Iceberg write to {target} failed — is an Iceberg catalog "
+                "configured on this session (spark.sql.catalog.*)?"
+            ) from e
+        return df.sparkSession.read.table(target)
+
     def write_stage(self, stage: str, df: DataFrame, **meta) -> DataFrame:
         """Materialize a stage output; idempotent on rerun."""
-        path = self.stage_path(stage)
         if self.completed(stage):
             return self.read_stage(df.sparkSession, stage)
-        tmp = path + ".tmp"
-        if os.path.exists(tmp):
-            shutil.rmtree(tmp)
-        df.write.mode("overwrite").parquet(tmp)
-        if os.path.exists(path):
-            shutil.rmtree(path)
-        os.rename(tmp, path)
+        if self.table_format == "iceberg":
+            out = self._write_iceberg(stage, df)
+        else:
+            path = self.stage_path(stage)
+            tmp = path + ".tmp"
+            if os.path.exists(tmp):
+                shutil.rmtree(tmp)
+            df.write.mode("overwrite").parquet(tmp)
+            if os.path.exists(path):
+                shutil.rmtree(path)
+            os.rename(tmp, path)
+            out = df.sparkSession.read.parquet(path)
         with open(self.manifest_path, "a") as f:
             f.write(
-                json.dumps({"stage": stage, "run_id": self.run_id, **meta}) + "\n"
+                json.dumps(
+                    {
+                        "stage": stage,
+                        "run_id": self.run_id,
+                        "format": self.table_format,
+                        **meta,
+                    }
+                )
+                + "\n"
             )
-        return df.sparkSession.read.parquet(path)
+        return out
 
     def read_stage(self, spark: SparkSession, stage: str) -> DataFrame:
+        if self.table_format == "iceberg":
+            return spark.read.table(self._iceberg_table(stage))
         return spark.read.parquet(self.stage_path(stage))
 
     def invalidate_from(self, stage: str, order: list[str]) -> None:

@@ -38,7 +38,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--run-id", default="run-0")
     ap.add_argument("--jaccard", type=float, default=0.8)
     ap.add_argument("--channels", default="lsh,exact,simhash,substring",
-                    help="comma list from {lsh,exact,simhash,substring}")
+                    help="comma list from {lsh,exact,simhash,substring,lcp}; "
+                         "lcp = distributed suffix-array shared-passage "
+                         "candidates (opt-in: shared long passages are "
+                         "usually quotes/boilerplate, so its pairs still "
+                         "face the full Jaccard + reason verification)")
     args = ap.parse_args(argv)
 
     from dedup.checkpoint import CheckpointStore
@@ -86,6 +90,11 @@ def main(argv: list[str] | None = None) -> int:
         sub_edges, sub_hot = substring_edges(clean, cfg)
         bypass_channels.append(sub_edges.select("url_a", "url_b"))
         metrics.record_stage("substring_hot_buckets", sub_hot)
+    if "lcp" in channels:
+        from dedup.suffix import lcp_pairs_distributed
+
+        lcp_pairs = lcp_pairs_distributed(clean, cfg)
+        cand_channels.append(lcp_pairs.select("url_a", "url_b"))
 
     res = run_dedup(
         pages, cfg, sources=sources,

@@ -102,6 +102,10 @@ def matmul_topk(
             m = np.vstack(pdf["embedding"].to_numpy()).astype(np.float32)
             m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
             sims = qm @ m.T  # (nq, batch)
+            # mask self-matches BEFORE the partial top-k — filtering them
+            # downstream would let the self row consume a top-k slot
+            batch_ids = pdf["vec_id"].to_numpy()
+            sims[qids[:, None] == batch_ids[None, :]] = -np.inf
             top = min(k, sims.shape[1])
             idx = np.argpartition(-sims, top - 1, axis=1)[:, :top]
             rows = {
@@ -154,24 +158,101 @@ def hyperplane_bucket(emb: Column, n_planes: int = 16, seed: int = 42) -> Column
 
 
 def lsh_bucketed_topk(
-    embeddings: DataFrame, k: int = 5, n_planes: int = 8, seed: int = 42
+    embeddings: DataFrame,
+    k: int = 5,
+    n_planes: int = 6,
+    seed: int = 42,
+    n_probes: int = 7,
+    n_tables: int = 4,
+    max_bucket: int = 4096,
 ) -> DataFrame:
     """All-pairs ANN: exact cosine re-rank within hyperplane buckets.
     Recall comes from bucket collisions of near vectors; report is
-    (q_id=vec_id_a, vec_id=vec_id_b, rank, cosine_micro)."""
-    with_b = embeddings.select(
-        "vec_id",
-        _fixed_point(F.col("embedding")).alias("v"),
-        hyperplane_bucket(F.col("embedding"), n_planes, seed).alias("bucket"),
+    (q_id=vec_id_a, vec_id=vec_id_b, rank, cosine_micro).
+
+    Standard LSH recall structure (Indyk-Motwani):
+    * `n_tables` independent hyperplane sets — a neighbor missed by one
+      table's split is recovered by another (recall ≈ 1-(1-p^b)^L).
+    * multi-probe (Lv et al., VLDB'07): each query additionally probes
+      the `n_probes - 1` buckets at Hamming distance 1 (single sign-bit
+      flips) per table — near-boundary neighbors recovered without
+      growing the corpus side.
+    * bucket cap: per-table buckets over `max_bucket` (degenerate
+      embedding floods) are thinned CORPUS-side by a deterministic hash
+      of vec_id down to ~max_bucket rows — bounded join fan-out, no
+      window skew, every query still gets results.
+
+    Candidate pairs are generated on slim (id, table, bucket) rows and
+    DISTINCT-ed before the vectors join in for the exact re-rank, so
+    multi-table collisions never re-rank a pair twice.
+    """
+    n_probes = max(1, min(n_probes, n_planes + 1))
+
+    fixed = embeddings.select(
+        "vec_id", _fixed_point(F.col("embedding")).alias("v")
     ).withColumn("v_n2", norm2_fixed(F.col("v")))
-    a = with_b.select(
+
+    table_keys = F.array(
+        *[
+            F.struct(
+                F.lit(t).cast("int").alias("tbl"),
+                hyperplane_bucket(
+                    F.col("embedding"), n_planes, seed + 1000003 * t
+                ).alias("bucket"),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    keyed = embeddings.select(
+        "vec_id", F.explode(table_keys).alias("tk")
+    ).select("vec_id", F.col("tk.tbl"), F.col("tk.bucket"))
+
+    sizes = keyed.groupBy("tbl", "bucket").agg(F.count(F.lit(1)).alias("bsz"))
+    hot = sizes.filter(F.col("bsz") > max_bucket)
+    corpus_keys = (
+        keyed.join(F.broadcast(hot), ["tbl", "bucket"], "left")
+        .filter(
+            F.col("bsz").isNull()
+            | (
+                F.pmod(
+                    F.xxhash64("vec_id"),
+                    (F.col("bsz") / F.lit(max_bucket)).cast("long") + 1,
+                )
+                == 0
+            )
+        )
+        .drop("bsz")
+    )
+
+    probe_keys = F.slice(
+        F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(1 << i))
+                for i in range(n_planes)
+            ],
+        ),
+        1,
+        n_probes,
+    )
+    probes = keyed.select(
+        F.col("vec_id").alias("q_id"),
+        "tbl",
+        F.explode(probe_keys).alias("bucket"),
+    )
+    cand = (
+        probes.join(corpus_keys, ["tbl", "bucket"])
+        .filter(F.col("q_id") != F.col("vec_id"))
+        .select("q_id", "vec_id")
+        .distinct()
+    )
+
+    qa = fixed.select(
         F.col("vec_id").alias("q_id"),
         F.col("v").alias("q"),
         F.col("v_n2").alias("q_n2"),
-        "bucket",
     )
-    b = with_b.select("vec_id", "v", "v_n2", "bucket")
-    j = a.join(b, "bucket").filter(F.col("q_id") != F.col("vec_id"))
+    j = cand.join(qa, "q_id").join(fixed, "vec_id")
     cosine = dot_fixed(F.col("q"), F.col("v")).cast("double") / (
         F.sqrt(F.col("q_n2").cast("double")) * F.sqrt(F.col("v_n2").cast("double"))
     )

@@ -167,11 +167,16 @@ def substring_edges(
 def suffix_array_lcp_pairs(
     texts: dict[str, str], min_lcp: int
 ) -> list[tuple[str, str]]:
-    """Per-block exact kernel: cross-doc pairs whose longest common
-    substring ≥ min_lcp, via a suffix array (numpy argsort over
-    fixed-width suffix slices) + adjacent-LCP scan. Used inside
-    applyInPandas blocks and unit-tested against brute force."""
-    ids, offs, chunks = [], [], []
+    """Per-block exact kernel: every cross-doc pair sharing a common
+    substring of length ≥ min(min_lcp, 64), via a suffix array (numpy
+    lexsort over fixed-width suffix slices) + equal-prefix run scan.
+
+    Runs of suffixes with identical width-slices yield ALL cross-doc
+    pairs of the run's doc set (not just lexsort-adjacent ones), so the
+    output equals the width-gram-sharing relation exactly — the property
+    the distributed parity test pins. Pair fan-out per run is bounded by
+    the block's doc count, which the caller caps."""
+    ids, chunks = [], []
     for did, t in texts.items():
         ids.append(did)
         chunks.append(t)
@@ -192,13 +197,97 @@ def suffix_array_lcp_pairs(
     if n < width:
         return []
     view = np.lib.stride_tricks.sliding_window_view(b, width)
-    order = np.lexsort(view.T[::-1])
-    out = set()
-    for i in range(len(order) - 1):
-        p, q = order[i], order[i + 1]
-        if doc_of[p] < 0 or doc_of[q] < 0 or doc_of[p] == doc_of[q]:
-            continue
-        if (view[p] == view[q]).all():
-            a, bdoc = sorted((ids[doc_of[p]], ids[doc_of[q]]))
-            out.add((a, bdoc))
+    # drop suffixes whose window crosses a doc boundary (contains \x00)
+    valid = ~(view == 0).any(axis=1)
+    vidx = np.nonzero(valid)[0]
+    if len(vidx) < 2:
+        return []
+    vv = view[vidx]
+    perm = np.lexsort(vv.T[::-1])
+    sorted_view = vv[perm]
+    sorted_docs = doc_of[vidx[perm]]
+    # vectorized run detection: adjacent equal width-slices share a run
+    # id; only rows in ≥2-member runs survive, so the Python loop below
+    # touches duplicate passages only, never the (dominant) unique tail
+    eq = (sorted_view[1:] == sorted_view[:-1]).all(axis=1)
+    run_id = np.concatenate([[0], np.cumsum(~eq)])
+    sizes = np.bincount(run_id)
+    keep = sizes[run_id] >= 2
+    kept_rid = run_id[keep]
+    kept_doc = sorted_docs[keep]
+    out: set[tuple[str, str]] = set()
+    if len(kept_rid):
+        bounds = np.nonzero(np.diff(kept_rid))[0] + 1
+        for run in np.split(kept_doc, bounds):
+            _emit_run(set(int(d) for d in run), ids, out)
     return sorted(out)
+
+
+def _emit_run(run_docs: set[int], ids: list[str], out: set) -> None:
+    if len(run_docs) < 2:
+        return
+    docs = sorted(run_docs)
+    for i, a in enumerate(docs):
+        for bdoc in docs[i + 1 :]:
+            out.add(tuple(sorted((ids[a], ids[bdoc]))))
+
+
+def lcp_pairs_distributed(
+    pages_with_norm: DataFrame,
+    cfg: DedupConfig,
+    min_lcp: int | None = None,
+) -> DataFrame:
+    """Distributed suffix-array pass (SURVEY.md §7 stage 9): cross-doc
+    pairs sharing a verbatim passage of ≥ min_lcp chars — shared LONG
+    PASSAGES, not full containment (the substring channel's case).
+
+    Plan shape:
+      1. winnowing fingerprints partition the suffix space: any shared
+         substring of length ≥ window + k - 1 contains one full
+         winnowing window, hence selects ≥ 1 identical fingerprint in
+         both docs (Schleimer et al.'s guarantee) → fingerprint ==
+         block key, no global suffix sort needed;
+      2. blocks with 2..cap member docs gather their members' texts and
+         run the exact block-local suffix-array kernel inside ONE
+         applyInPandas pass (per-block work is bounded by the cap);
+      3. pair set is the union over blocks, distinct.
+
+    min_lcp must be ≥ cfg.fingerprint_window + cfg.k_shingle - 1 for
+    the step-1 guarantee; defaults to cfg.substring_min_len (64 ≥ 40 at
+    default config). The kernel compares min(min_lcp, 64)-wide slices.
+    """
+    from pyspark.sql import types as T
+
+    L = min_lcp if min_lcp is not None else cfg.substring_min_len
+    if L < cfg.fingerprint_window + cfg.k_shingle - 1:
+        raise ValueError(
+            "min_lcp below the winnowing recall guarantee "
+            f"({cfg.fingerprint_window + cfg.k_shingle - 1})"
+        )
+    fps = fingerprint_table(pages_with_norm, cfg).distinct()
+    sizes = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("n"))
+    eligible = sizes.filter(
+        (F.col("n") >= 2) & (F.col("n") <= cfg.substring_max_bucket)
+    ).select("fp")
+    blocks = fps.join(eligible, "fp")
+    with_text = blocks.join(
+        pages_with_norm.select("url", "norm_text"), "url"
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("url_a", T.StringType()),
+            T.StructField("url_b", T.StringType()),
+        ]
+    )
+
+    def block_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        texts = dict(zip(pdf["url"], pdf["norm_text"]))
+        pairs = suffix_array_lcp_pairs(texts, L)
+        return pd.DataFrame(pairs, columns=["url_a", "url_b"])
+
+    return (
+        with_text.groupBy("fp")
+        .applyInPandas(block_fn, schema)
+        .distinct()
+    )

@@ -62,7 +62,8 @@ def main() -> None:
         print(f"[phase] {name}: {phases[name]:.2f}s", flush=True)
         return out
 
-    clean = quarantine_filter(with_normalized(pages)).drop("html")
+    clean = quarantine_filter(with_normalized(pages))
+    clean = clean.withColumn("text_len", F.length("text")).drop("html", "text")
     clean = clean.persist(StorageLevel.MEMORY_AND_DISK)
     mark("normalize+persist", lambda: clean.count())
 
@@ -78,7 +79,9 @@ def main() -> None:
     reps = representatives(groups)
     rep_pages = kpages.join(reps, "url")
 
-    sigs = signatures(rep_pages, cfg).persist(StorageLevel.MEMORY_AND_DISK)
+    sigs = signatures(rep_pages, cfg).select("url", "sig").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     mark("signatures", lambda: sigs.count())
 
     bands = explode_bands(sigs, cfg)
@@ -103,8 +106,20 @@ def main() -> None:
     feats = feats.join(srcjoin, "url", "left").withColumn(
         "sources", F.coalesce("sources", F.array().cast("array<string>"))
     )
-    with_j = _jaccard_incl_exact(all_candidates, sigs, groups)
-    pairs = pair_reasons(attach_features(with_j, feats), cfg, None)
+    with_j = _jaccard_incl_exact(all_candidates, rep_pages, groups, cfg)
+    rule_columns = {
+        t: (f"a_{t}", f"b_{t}")
+        for t in sorted(cfg.field_rules)
+        if t in kpages.columns
+    }
+    count_columns = {
+        t: (f"a_{t}", f"b_{t}") for t in cfg.count_fields if t in kpages.columns
+    }
+    pairs = pair_reasons(
+        attach_features(with_j, feats), cfg, None,
+        rule_columns=rule_columns or None,
+        count_columns=count_columns or None,
+    )
     edges = (
         verified_edges(pairs, cfg, "lsh")
         .select("url_a", "url_b").distinct()

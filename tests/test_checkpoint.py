@@ -52,6 +52,55 @@ def test_invalidate_from_reruns_suffix(spark, tmp_path):
     assert out.count() == 7
 
 
+def test_iceberg_branch_selection(spark, tmp_path, monkeypatch):
+    """Writer-interface test for the Iceberg branch (north_rule names
+    Iceberg tables; the sandbox has no Iceberg jar, so the branch is
+    exercised by substituting the v2-writer call and asserting routing,
+    manifest format tagging, and idempotent skip behavior)."""
+    calls = []
+    store = CheckpointStore(
+        str(tmp_path), run_id="t5", table_format="iceberg",
+        table_prefix="lake.dedup",
+    )
+    df = spark.range(5)
+
+    def fake_iceberg(stage, frame):
+        calls.append((stage, store._iceberg_table(stage)))
+        return frame
+
+    monkeypatch.setattr(store, "_write_iceberg", fake_iceberg)
+    out = store.write_stage("edges", df)
+    assert calls == [("edges", "lake.dedup.edges")]
+    assert out.count() == 5
+    assert store.completed("edges")
+    rec = store._read_manifest()["edges"]
+    assert rec["format"] == "iceberg"
+    # idempotent rerun: completed stage does not write again — it READS
+    # the stage table (read_stage); stub that path too
+    monkeypatch.setattr(
+        store, "read_stage", lambda spark_, stage: df
+    )
+    out2 = store.write_stage("edges", spark.range(9))
+    assert len(calls) == 1
+    assert out2.count() == 5
+
+
+def test_iceberg_without_catalog_fails_loudly(spark, tmp_path):
+    store = CheckpointStore(
+        str(tmp_path), run_id="t6", table_format="iceberg",
+        table_prefix="lake.dedup",
+    )
+    with pytest.raises(RuntimeError, match="Iceberg write"):
+        store.write_stage("edges", spark.range(3))
+
+
+def test_invalid_format_rejected(tmp_path):
+    with pytest.raises(ValueError):
+        CheckpointStore(str(tmp_path), table_format="orc")
+    with pytest.raises(ValueError):
+        CheckpointStore(str(tmp_path), table_format="iceberg")  # no prefix
+
+
 def test_end_to_end_resume_identical_output(spark, tmp_path):
     """Full pipeline, interrupted and resumed → byte-identical clusters."""
     from dedup.config import DedupConfig

@@ -1,0 +1,120 @@
+"""ANN similarity search: LSH-bucketed path vs the exact brute-force
+baseline (recall), multi-probe lift, bucket-cap skew control, and the
+BLAS matmul path vs brute force (SURVEY.md LLM-pipeline operators)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from dedup.embeddings import (
+    brute_force_topk,
+    lsh_bucketed_topk,
+    matmul_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+
+
+def _pairs(df, k):
+    return {
+        (r["q_id"], r["vec_id"])
+        for r in df.filter(F.col("rank") <= k).collect()
+    }
+
+
+def _truth(emb, k):
+    qs = emb.select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    return _pairs(brute_force_topk(emb, qs, k=k), k)
+
+
+def test_lsh_bucketed_recall_vs_brute_force(emb):
+    k = 5
+    truth = _truth(emb, k)
+    got = _pairs(
+        lsh_bucketed_topk(emb, k=k, n_planes=6, n_probes=7, n_tables=4), k
+    )
+    recall = len(truth & got) / len(truth)
+    # random embeddings are the worst case for hyperplane LSH (no cluster
+    # structure); 4 tables × 6 planes × hamming-1 probes still has to
+    # recover most of the true top-5
+    assert recall >= 0.5, f"multi-table multi-probe recall {recall:.3f}"
+
+
+def test_tables_and_probes_lift_recall(emb):
+    k = 5
+    truth = _truth(emb, k)
+    single = _pairs(
+        lsh_bucketed_topk(emb, k=k, n_planes=6, n_probes=1, n_tables=1), k
+    )
+    multi = _pairs(
+        lsh_bucketed_topk(emb, k=k, n_planes=6, n_probes=7, n_tables=4), k
+    )
+    r1 = len(truth & single) / len(truth)
+    rm = len(truth & multi) / len(truth)
+    assert rm > r1, f"single {r1:.3f} multi {rm:.3f}"
+
+
+def test_bucket_cap_thins_degenerate_floods(spark):
+    # 500 identical vectors (one bucket per table) + cap 50: the corpus
+    # side of the join is thinned, and every query still returns k rows
+    n, dim, k = 500, 8, 3
+    rows = [(i, [1.0] * dim) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = lsh_bucketed_topk(
+        df, k=k, n_planes=4, n_probes=1, n_tables=1, max_bucket=50
+    ).cache()
+    per_q = out.groupBy("q_id").count().agg(F.min("count")).collect()[0][0]
+    assert per_q == k  # every query keeps a full top-k
+    # fan-out is bounded: ~n * cap candidates, far below n²
+    assert out.count() == n * k
+
+
+def test_matmul_topk_value_correct_vs_numpy_oracle(emb):
+    # random embeddings have DENSE near-ties in their top-5, so exact
+    # set-overlap between float32 BLAS and fixed-point paths is the wrong
+    # assertion; instead: every returned neighbor's true (float64) cosine
+    # must reach the query's true 5th-best cosine minus epsilon
+    k, eps = 5, 1e-3
+    pdf = emb.toPandas().sort_values("vec_id").reset_index(drop=True)
+    m = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = mn @ mn.T
+    np.fill_diagonal(sims, -2.0)
+    kth_best = np.sort(sims, axis=1)[:, -k]
+    idx = {int(v): i for i, v in enumerate(pdf["vec_id"])}
+
+    got = matmul_topk(
+        emb, np.vstack(pdf["embedding"].to_numpy()),
+        pdf["vec_id"].to_numpy(), k=k,
+    ).collect()
+    assert len(got) == len(pdf) * k
+    for r in got:
+        qi, vi = idx[r["q_id"]], idx[r["vec_id"]]
+        assert sims[qi, vi] >= kth_best[qi] - eps, (r["q_id"], r["vec_id"])
+
+
+def test_brute_force_topk_value_correct_vs_numpy_oracle(emb):
+    k, eps = 5, 1e-3
+    pdf = emb.toPandas().sort_values("vec_id").reset_index(drop=True)
+    m = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = mn @ mn.T
+    np.fill_diagonal(sims, -2.0)
+    kth_best = np.sort(sims, axis=1)[:, -k]
+    idx = {int(v): i for i, v in enumerate(pdf["vec_id"])}
+
+    qs = emb.select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    got = brute_force_topk(emb, qs, k=k).collect()
+    assert len(got) == len(pdf) * k
+    for r in got:
+        qi, vi = idx[r["q_id"]], idx[r["vec_id"]]
+        assert sims[qi, vi] >= kth_best[qi] - eps, (r["q_id"], r["vec_id"])

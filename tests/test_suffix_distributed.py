@@ -1,0 +1,75 @@
+"""Distributed suffix-array pass (SURVEY.md §7 stage 9): the
+applyInPandas block stage must equal the block-local kernel run on the
+whole corpus, and both must equal the brute-force L-gram-sharing
+relation, on the planted synthetic corpus (winnowing guarantee:
+min_lcp ≥ window + k - 1 ⇒ every qualifying pair shares ≥ 1 selected
+fingerprint, so blocking loses nothing below the hot cap)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dedup.config import DedupConfig
+from dedup.corpus import corpus_dataframes
+from dedup.normalize import quarantine_filter, with_normalized
+from dedup.suffix import lcp_pairs_distributed, suffix_array_lcp_pairs
+
+
+@pytest.fixture(scope="module")
+def clean_pdf(spark):
+    pages, _t, _s = corpus_dataframes(spark, n_docs=300, seed=42)
+    clean = quarantine_filter(with_normalized(pages))
+    pdf = clean.select("url", "norm_text").toPandas()
+    return clean, pdf
+
+
+def _brute_pairs(pdf, width):
+    texts = {
+        r.url: r.norm_text
+        for r in pdf.itertuples()
+        if len(r.norm_text) >= width
+    }
+    grams = {
+        u: {t[i : i + width] for i in range(len(t) - width + 1)}
+        for u, t in texts.items()
+    }
+    urls = sorted(texts)
+    out = set()
+    for i, a in enumerate(urls):
+        for b in urls[i + 1 :]:
+            if grams[a] & grams[b]:
+                out.add((a, b))
+    return out
+
+
+def test_distributed_equals_brute_force(spark, clean_pdf):
+    clean, pdf = clean_pdf
+    cfg = DedupConfig(substring_max_bucket=1_000_000_000)  # uncapped tier
+    L = 64  # ≥ window + k - 1 = 40 → winnowing recall guarantee holds
+    got = {
+        (r["url_a"], r["url_b"])
+        for r in lcp_pairs_distributed(clean, cfg, min_lcp=L).collect()
+    }
+    expected = _brute_pairs(pdf, min(L, 64))
+    assert got == expected
+    assert len(expected) > 0  # planted exact/substring kinds guarantee pairs
+
+
+def test_distributed_equals_whole_corpus_kernel(spark, clean_pdf):
+    clean, pdf = clean_pdf
+    cfg = DedupConfig(substring_max_bucket=1_000_000_000)
+    L = 64
+    texts = {r.url: r.norm_text for r in pdf.itertuples()}
+    kernel = set(suffix_array_lcp_pairs(texts, L))
+    got = {
+        (r["url_a"], r["url_b"])
+        for r in lcp_pairs_distributed(clean, cfg, min_lcp=L).collect()
+    }
+    assert got == kernel
+
+
+def test_min_lcp_guard():
+    cfg = DedupConfig()
+    with pytest.raises(ValueError):
+        lcp_pairs_distributed(None, cfg, min_lcp=10)
