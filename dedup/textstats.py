@@ -85,7 +85,13 @@ def quality_features(text: Column) -> dict[str, Column]:
     t = F.trim(text)
     n_chars = F.length(t).cast("long")
     n_tokens = token_count(t)
-    n_alpha = F.length(F.regexp_replace(t, "[^a-zA-Zåäö]", "")).cast("long")
+    # ASCII-fast-path form of length(regexp_replace(t,'[^a-zA-Zåäö]',''))
+    # — non-ASCII chars in a regex class drop java.util.regex to a ~40x
+    # slower path (see dedup/normalize.py). Only the COUNT matters here,
+    # so åäö fold onto 'a' (kept by the class) before the ASCII replace.
+    n_alpha = F.length(
+        F.regexp_replace(F.translate(t, "åäö", "aaa"), "[^a-zA-Z]", "")
+    ).cast("long")
     n_punct = F.length(F.regexp_replace(t, r"[^.,!?;:]", "")).cast("long")
     n_stop = sum(
         (_count_occurrences(F.lower(t), w) for w in LANG_MARKERS["en"]), F.lit(0)

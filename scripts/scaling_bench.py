@@ -1,11 +1,18 @@
 """Scaling-efficiency evidence (north_rule two-cluster-size criterion).
 
 Runs the identical fast-mode dedup job on the identical synthetic input
-at two parallelism levels (local[8] and local[32] — the sandbox stand-in
+at two parallelism levels (local[N] vs local[4N] — the sandbox stand-in
 for N vs 4N executors), reports throughput at both plus scaling
 efficiency, and asserts the outputs are identical (order-insensitive).
 
-    python scripts/scaling_bench.py [--docs 30000] [--low 8] [--high 32]
+Default pair: local[2] → local[8]. The host advertises 32 logical CPUs
+but a Spark-free pure-CPU probe (scripts/cpu_ceiling.py →
+CPU_CEILING.json) shows its parallel throughput is hyperthread/quota
+bound above ~8-16 processes (2→8 efficiency 0.93, 8→32 efficiency
+0.44) — so 8→32 measures the silicon, not the pipeline, and the N→4N
+demonstration must sit in the linear region. See BASELINE.md.
+
+    python scripts/scaling_bench.py [--docs 200000] [--low 2] [--high 8]
 
 Each run happens in a fresh subprocess (one JVM per master setting).
 Writes JSON to stdout and BENCH_SCALING.json at the repo root.
@@ -68,9 +75,9 @@ def run_once(docs: int, cores: int) -> dict:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--docs", type=int, default=30000)
-    ap.add_argument("--low", type=int, default=8)
-    ap.add_argument("--high", type=int, default=32)
+    ap.add_argument("--docs", type=int, default=200000)
+    ap.add_argument("--low", type=int, default=2)
+    ap.add_argument("--high", type=int, default=8)
     ap.add_argument("--repeats", type=int, default=2,
                     help="interleaved repeats per level; min wall wins "
                          "(the sandbox host's throughput varies ~2x "
@@ -99,6 +106,17 @@ def main() -> None:
         "scaling_efficiency": round(eff, 3),
         "outputs_identical": True,
     }
+    ceiling_path = os.path.join(REPO, "CPU_CEILING.json")
+    if os.path.exists(ceiling_path):
+        with open(ceiling_path) as f:
+            ceiling = json.load(f)
+        key = f"eff_{args.low}_to_{args.high}"
+        report["hardware_ceiling"] = {
+            "probe": "scripts/cpu_ceiling.py (Spark-free pure-CPU)",
+            "eff_2_to_8": ceiling.get("eff_2_to_8"),
+            "eff_8_to_32": ceiling.get("eff_8_to_32"),
+            "this_pair": ceiling.get(key),
+        }
     print(json.dumps(report, indent=2))
     with open(os.path.join(REPO, "BENCH_SCALING.json"), "w") as f:
         json.dump(report, f, indent=2)

@@ -58,3 +58,39 @@ def test_row_flags(spark):
 def test_diacritics_regex_matches_reference_literal():
     # the exact char class from record-utils.js:211 (order preserved)
     assert DIACRITICS_RE == "[^ -~,'öäå]"
+
+
+def test_fast_path_equivalence_fuzz(spark):
+    """The ASCII-fast-path decompositions of normalize_text and
+    has_diacritics must be byte-identical to the reference regexes
+    (which java.util.regex runs ~27x slower and without thread scaling
+    — see the module comment) over adversarial unicode inputs."""
+    import random
+
+    from dedup.normalize import NORMALIZE_RE
+
+    random.seed(3)
+    pool = (
+        list(range(32, 127))
+        + [229, 228, 246, 197, 196, 214]  # åäö ÅÄÖ
+        + [1, 2, 3, 9, 10, 127, 0x300, 0x4E00, 0x1F600]
+    )
+    fuzz = [
+        "".join(chr(random.choice(pool)) for _ in range(60))
+        for _ in range(1500)
+    ]
+    fuzz += ["", "   ", "ÅÄÖ åäö", "foo[bar]baz_`qux^", "a\tb\nc", "A~B"]
+    df = spark.createDataFrame([(c,) for c in fuzz], "t string")
+    ref_norm = F.trim(
+        F.regexp_replace(F.lower(F.col("t")), NORMALIZE_RE, " ")
+    )
+    ref_diac = F.col("t").rlike(DIACRITICS_RE)
+    bad = df.select(
+        ref_norm.alias("rn"),
+        normalize_text(F.col("t")).alias("fn"),
+        ref_diac.alias("rd"),
+        has_diacritics(F.col("t")).alias("fd"),
+    ).filter(
+        (F.col("rn") != F.col("fn")) | (F.col("rd") != F.col("fd"))
+    )
+    assert bad.count() == 0
