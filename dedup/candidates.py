@@ -95,6 +95,10 @@ def pairs_from_buckets(
     hot = stats.filter(F.col("bucket_size") > cap).select(
         *key_cols, "hub_url", "bucket_size"
     )
+    # hot is tiny (over-cap keys only) but its lineage is the full stats
+    # shuffle; it feeds TWO broadcast exchanges (anti-join + star join),
+    # which would otherwise each recompute that shuffle
+    hot = hot.persist()
 
     # --- sub-cap buckets: full pair expansion over bounded arrays -----
     small = (

@@ -75,17 +75,39 @@ def minhash_rows(hash_matrix: np.ndarray, seeds: np.ndarray) -> np.ndarray:
 def minhash_batch(
     concat_hashes: np.ndarray, offsets: np.ndarray, seeds: np.ndarray
 ) -> np.ndarray:
-    """Batched MinHash: one segmented-min pass per seed over the whole
-    Arrow batch (np.minimum.reduceat), instead of a (num_perm × n)
-    matrix allocation per document. Returns (n_docs, num_perm) int64.
+    """Batched MinHash: segmented-min per seed over the Arrow batch
+    (np.minimum.reduceat), instead of a (num_perm × n) matrix allocation
+    per document. Returns (n_docs, num_perm) int64.
+
+    Cache blocking: the seed loop would otherwise stream the whole
+    concat array from RAM num_perm times (e.g. 64 × 800 MB per batch —
+    memory-bandwidth-bound, the measured hot spot at high core counts).
+    Instead the batch is cut into doc-aligned blocks sized to stay in
+    L2/L3; each block runs the full seed loop while hot, and per-block
+    minima combine into the output with elementwise minimum.
 
     concat_hashes: all docs' shingle hashes concatenated (uint64);
     offsets: start index of each doc's segment (len == n_docs, offsets[0]==0).
     Empty batches are the caller's responsibility (reduceat needs data).
     """
     n_docs = len(offsets)
-    out = np.empty((n_docs, len(seeds)), dtype=np.int64)
-    for j, seed in enumerate(seeds):
-        mixed = splitmix64(concat_hashes ^ seed)
-        out[:, j] = np.minimum.reduceat(mixed, offsets).astype(np.int64)
+    n = len(concat_hashes)
+    out = np.full((n_docs, len(seeds)), np.iinfo(np.int64).max, dtype=np.int64)
+    # ~512 KB of uint64 per block keeps the working set cache-resident
+    block_target = 64 * 1024
+    d0 = 0
+    while d0 < n_docs:
+        # extend the block doc-by-doc until it reaches the target size
+        d1 = int(
+            np.searchsorted(offsets, offsets[d0] + block_target, side="left")
+        )
+        d1 = max(d1, d0 + 1)
+        start = offsets[d0]
+        end = offsets[d1] if d1 < n_docs else n
+        chunk = concat_hashes[start:end]
+        offs = (offsets[d0:d1] - start).astype(np.int64)
+        for j, seed in enumerate(seeds):
+            mixed = splitmix64(chunk ^ seed)
+            out[d0:d1, j] = np.minimum.reduceat(mixed, offs).astype(np.int64)
+        d0 = d1
     return out

@@ -41,16 +41,11 @@ def shingles_expr(norm_col: Column, k: int) -> Column:
 def distinct_shingle_hashes(norm_col: Column, cfg: DedupConfig) -> Column:
     """array<long> of distinct shingle hashes (set semantics — the
     reference's multiset containment degrades to set containment for
-    shingles, SURVEY.md §2.3.1)."""
+    shingles, SURVEY.md §2.3.1). Portable (oracle-replayable) form."""
     sh = shingles_expr(norm_col, cfg.k_shingle)
     if cfg.hash_mode == "portable":
         hashed = F.transform(sh, h60)
     elif cfg.shingle_hash_bits == 31:
-        # 31-bit shingle hashes in fast mode: halves the bytes moved by
-        # the exact-Jaccard join and the in-memory set ops; collision
-        # probability within a doc pair (~400²/2 / 2³¹) ≈ 4e-5 — noise
-        # well below the MinHash estimator's own variance. Masked before
-        # the cast (ANSI mode rejects overflowing casts).
         hashed = F.transform(
             sh,
             lambda s: F.xxhash64(s).bitwiseAND(F.lit(0x7FFFFFFF)).cast("int"),
@@ -62,43 +57,116 @@ def distinct_shingle_hashes(norm_col: Column, cfg: DedupConfig) -> Column:
     return F.array_distinct(hashed)
 
 
+# -------------------------------------------------- fast shingle kernel
+def shingle_hash_kernel(
+    text: str | None, k: int, mask31: bool
+) -> np.ndarray | None:
+    """Unique rolling-hash shingle hashes of one normalized string.
+
+    Polynomial rolling hash (base 257, mod 2⁶⁴) over the utf-8 byte
+    stream + splitmix64 finalizer — the same construction as the
+    winnowing fingerprints (dedup/suffix.py). Replaces the JVM
+    `transform(substring(...))` path, which materializes one String per
+    shingle position (~10⁸ objects per 200k docs — the measured hot spot
+    at 12s/8 cores). Docs shorter than k hash their whole text as one
+    shingle (matching shingles_expr's clamp)."""
+    if text is None:
+        return None
+    b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+    width = min(k, max(len(b), 1))
+    base = np.uint64(257)
+    powers = base ** np.arange(width, dtype=np.uint64)  # wraps mod 2^64
+    if len(b) == 0:
+        raw = np.zeros(1, dtype=np.uint64)
+    else:
+        win = np.lib.stride_tricks.sliding_window_view(b, width).astype(
+            np.uint64
+        )
+        raw = (win * powers[None, :]).sum(axis=1, dtype=np.uint64)
+    from dedup.hashing import splitmix64
+
+    h = splitmix64(raw)
+    if mask31:
+        h = (h & np.uint64(0x7FFFFFFF)).astype(np.int32)
+    else:
+        h = h.astype(np.int64)
+    return np.unique(h)
+
+
+def _fast_shingles_udf(cfg: DedupConfig):
+    dtype = T.IntegerType() if cfg.shingle_hash_bits == 31 else T.LongType()
+    k, mask31 = cfg.k_shingle, cfg.shingle_hash_bits == 31
+
+    @F.pandas_udf(T.ArrayType(dtype))
+    def shingles(norm_text: pd.Series) -> pd.Series:
+        return pd.Series(
+            [shingle_hash_kernel(t, k, mask31) for t in norm_text],
+            dtype=object,
+        )
+
+    return shingles
+
+
 def with_shingles(pages: DataFrame, cfg: DedupConfig) -> DataFrame:
-    """Adds `shingles: array<long>`; expects `norm_text` present."""
+    """Adds `shingles` (array of hashes); expects `norm_text` present.
+    Fast mode computes them in the vectorized numpy kernel; portable
+    mode keeps the SQL-replayable h60 expression."""
+    if cfg.hash_mode == "portable":
+        return pages.withColumn(
+            "shingles", distinct_shingle_hashes(F.col("norm_text"), cfg)
+        )
     return pages.withColumn(
-        "shingles", distinct_shingle_hashes(F.col("norm_text"), cfg)
+        "shingles", _fast_shingles_udf(cfg)(F.col("norm_text"))
     )
 
 
 # ------------------------------------------------------------- signatures
+def _minhash_over_arrays(arrs: list, seeds: np.ndarray) -> pd.Series:
+    """Shared tail: None-aware batched MinHash over per-doc hash arrays."""
+    from dedup.hashing import minhash_batch
+
+    nonempty = [a for a in arrs if a is not None and len(a) > 0]
+    if not nonempty:
+        return pd.Series([None] * len(arrs), dtype=object)
+    concat = np.concatenate(
+        [np.asarray(a, dtype=np.int64).view(np.uint64) for a in nonempty]
+    )
+    lens = np.fromiter((len(a) for a in nonempty), dtype=np.int64)
+    offsets = np.zeros(len(nonempty), dtype=np.int64)
+    np.cumsum(lens[:-1], out=offsets[1:])
+    sigs = minhash_batch(concat, offsets, seeds)  # (n, num_perm)
+    out, k = [], 0
+    for a in arrs:
+        if a is None or len(a) == 0:
+            out.append(None)
+        else:
+            out.append(sigs[k])
+            k += 1
+    return pd.Series(out, dtype=object)
+
+
 def _fast_signature_udf(cfg: DedupConfig):
     seeds = perm_seeds(cfg.num_perm, cfg.seed)
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def sig(shingle_hashes: pd.Series) -> pd.Series:
-        from dedup.hashing import minhash_batch
+        return _minhash_over_arrays(list(shingle_hashes), seeds)
 
-        arrs = [
-            np.asarray(a, dtype=np.int64).view(np.uint64)
-            if a is not None and len(a) > 0
-            else None
-            for a in shingle_hashes
-        ]
-        nonempty = [a for a in arrs if a is not None]
-        if not nonempty:
-            return pd.Series([None] * len(arrs))
-        concat = np.concatenate(nonempty)
-        lens = np.fromiter((len(a) for a in nonempty), dtype=np.int64)
-        offsets = np.zeros(len(nonempty), dtype=np.int64)
-        np.cumsum(lens[:-1], out=offsets[1:])
-        sigs = minhash_batch(concat, offsets, seeds)  # (n, num_perm)
-        out, k = [], 0
-        for a in arrs:
-            if a is None:
-                out.append(None)
-            else:
-                out.append(sigs[k])
-                k += 1
-        return pd.Series(out)
+    return sig
+
+
+def _fast_sig_from_text_udf(cfg: DedupConfig):
+    """norm_text → MinHash signature in ONE Arrow pass: rolling-hash
+    shingles (shingle_hash_kernel) feed the blocked minhash kernel
+    directly — the per-doc shingle arrays never cross the JVM↔Python
+    boundary or materialize as a column."""
+    seeds = perm_seeds(cfg.num_perm, cfg.seed)
+    k, mask31 = cfg.k_shingle, cfg.shingle_hash_bits == 31
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def sig(norm_text: pd.Series) -> pd.Series:
+        arrs = [shingle_hash_kernel(t, k, mask31) for t in norm_text]
+        return _minhash_over_arrays(arrs, seeds)
 
     return sig
 
@@ -151,8 +219,16 @@ def explode_bands(pages: DataFrame, cfg: DedupConfig) -> DataFrame:
 
 
 def signatures(pages_with_norm: DataFrame, cfg: DedupConfig) -> DataFrame:
-    """norm_text → shingles → sig in one narrow pass; drops wide columns
-    so only (url, shingles, sig) ever shuffles."""
-    df = with_shingles(pages_with_norm, cfg)
-    df = with_signature(df, cfg)
-    return df.select("url", "shingles", "sig")
+    """norm_text → (url, shingles, sig), narrow. In fast mode the two
+    outputs are INDEPENDENT prunable UDF columns over norm_text — a
+    consumer selecting only (url, sig) never computes or transfers the
+    shingle arrays (Catalyst column pruning removes the other UDF)."""
+    if cfg.hash_mode == "portable":
+        df = with_shingles(pages_with_norm, cfg)
+        df = with_signature(df, cfg)
+        return df.select("url", "shingles", "sig")
+    return pages_with_norm.select(
+        "url",
+        _fast_shingles_udf(cfg)(F.col("norm_text")).alias("shingles"),
+        _fast_sig_from_text_udf(cfg)(F.col("norm_text")).alias("sig"),
+    )
