@@ -562,6 +562,39 @@ def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup SPEC: all pairs with fixed-point cosine
+    ≥ threshold (the production channel, embeddings.embedding_dup_pairs,
+    computes the same relation through the multi-table LSH index and is
+    parity-tested against planted near-identical vectors)."""
+    from dedup.embeddings import _fixed_point, dot_fixed, norm2_fixed
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    fixed = emb.select(
+        "vec_id", _fixed_point(F.col("embedding")).alias("v")
+    ).withColumn("n2", norm2_fixed(F.col("v")))
+    a = fixed.select(
+        F.col("vec_id").alias("vec_id_a"), F.col("v").alias("va"),
+        F.col("n2").alias("na"),
+    )
+    b = fixed.select(
+        F.col("vec_id").alias("vec_id_b"), F.col("v").alias("vb"),
+        F.col("n2").alias("nb"),
+    )
+    cos = dot_fixed(F.col("va"), F.col("vb")).cast("double") / (
+        F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("vec_id_a") < F.col("vec_id_b"))
+        .select(
+            "vec_id_a", "vec_id_b",
+            F.floor(cos * 1000000).cast("long").alias("cosine_micro"),
+        )
+        .filter(F.col("cosine_micro") >= 400000)
+    )
+
+
 QUERIES = {
     "pages_derivation": q_pages,
     "normalize_flags": q_normalize,
@@ -582,6 +615,7 @@ QUERIES = {
     "knn_cosine_topk": q_knn_cosine,
     "extent_inference": q_extent_infer,
     "pair_gate_reasons": q_pair_gates,
+    "embedding_dup_pairs": q_embedding_dups,
 }
 
 
@@ -912,6 +946,34 @@ SELECT url_a, url_b,
        coalesce(array_to_string(rs, '|'), '') AS reasons_str,
        (len(rs) = 0)::INT AS can_merge
 FROM reasons
+"""
+
+ORACLES["embedding_dup_pairs"] = """
+WITH fixed AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> floor(x::DOUBLE * 1048576)::BIGINT) AS v
+  FROM embeddings
+),
+exploded AS (
+  SELECT vec_id, generate_subscripts(v, 1) AS dim, unnest(v) AS val FROM fixed
+),
+norms AS (
+  SELECT vec_id, sum(val * val)::BIGINT AS n2 FROM exploded GROUP BY vec_id
+),
+dots AS (
+  SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+         sum(a.val * b.val)::BIGINT AS dot
+  FROM exploded a JOIN exploded b ON a.dim = b.dim AND a.vec_id < b.vec_id
+  GROUP BY 1, 2
+)
+SELECT d.vec_id_a::BIGINT AS vec_id_a, d.vec_id_b::BIGINT AS vec_id_b,
+       floor(d.dot / (sqrt(na.n2::DOUBLE) * sqrt(nb.n2::DOUBLE)) * 1000000)
+         ::BIGINT AS cosine_micro
+FROM dots d
+JOIN norms na ON na.vec_id = d.vec_id_a
+JOIN norms nb ON nb.vec_id = d.vec_id_b
+WHERE floor(d.dot / (sqrt(na.n2::DOUBLE) * sqrt(nb.n2::DOUBLE)) * 1000000)
+      >= 400000
 """
 
 ORACLES["knn_cosine_topk"] = """

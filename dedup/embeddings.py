@@ -130,6 +130,38 @@ def matmul_topk(
     )
 
 
+def embedding_dup_pairs(
+    embeddings: DataFrame,
+    threshold_micro: int = 950_000,
+    n_planes: int = 6,
+    n_probes: int = 7,
+    n_tables: int = 4,
+    max_bucket: int = 4096,
+    k: int = 50,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate channel: (vec_id_a, vec_id_b,
+    cosine_micro) pairs with cosine ≥ threshold, found through the
+    multi-table hyperplane LSH index (same recall machinery as
+    lsh_bucketed_topk) and exactly re-ranked — the semantic-dup
+    complement to the lexical MinHash/SimHash channels. Near-identical
+    embeddings agree on almost every hyperplane sign, so LSH recall is
+    far higher here than in the generic top-k regime."""
+    topk = lsh_bucketed_topk(
+        embeddings, k=k, n_planes=n_planes, seed=42,
+        n_probes=n_probes, n_tables=n_tables, max_bucket=max_bucket,
+    )
+    return (
+        topk.filter(F.col("cosine_micro") >= threshold_micro)
+        .select(
+            F.least("q_id", "vec_id").alias("vec_id_a"),
+            F.greatest("q_id", "vec_id").alias("vec_id_b"),
+            "cosine_micro",
+        )
+        .groupBy("vec_id_a", "vec_id_b")
+        .agg(F.max("cosine_micro").alias("cosine_micro"))
+    )
+
+
 def hyperplane_bucket(emb: Column, n_planes: int = 16, seed: int = 42) -> Column:
     """Sign-bit bucket key from deterministic pseudo-random hyperplanes.
 

@@ -76,6 +76,30 @@ def test_bucket_cap_thins_degenerate_floods(spark):
     assert out.count() == n * k
 
 
+def test_embedding_dup_pairs_finds_planted_near_dups(spark):
+    from dedup.embeddings import embedding_dup_pairs
+
+    rng = np.random.default_rng(9)
+    base = rng.normal(size=(40, 32)).astype(np.float32)
+    rows = []
+    vid = 0
+    planted = set()
+    for i in range(40):
+        rows.append((vid, base[i].tolist())); a = vid; vid += 1
+        if i % 4 == 0:  # plant a near-dup: tiny perturbation
+            near = base[i] + rng.normal(scale=0.01, size=32).astype(np.float32)
+            rows.append((vid, near.tolist()))
+            planted.add((a, vid)); vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        (r["vec_id_a"], r["vec_id_b"])
+        for r in embedding_dup_pairs(df, threshold_micro=990_000).collect()
+    }
+    # every planted near-identical pair found; no sub-threshold pair kept
+    missing = planted - got
+    assert not missing, f"missed planted near-dups: {missing}"
+
+
 def test_matmul_topk_value_correct_vs_numpy_oracle(emb):
     # random embeddings have DENSE near-ties in their top-5, so exact
     # set-overlap between float32 BLAS and fixed-point paths is the wrong
