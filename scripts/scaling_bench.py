@@ -39,11 +39,15 @@ from dedup.corpus import corpus_dataframes
 from dedup.pipeline import run_dedup
 
 n_docs, cores = {docs}, {cores}
+# shuffle partitioning is held CONSTANT across the two parallelism
+# levels ({parts} partitions), like a real cluster keeps its
+# partitioning while executors vary — only the executor count (local
+# threads) changes between the runs
 spark = get_spark("scaling-{cores}", master=f"local[{cores}]",
-                  shuffle_partitions={cores})
+                  shuffle_partitions={parts})
 cfg = DedupConfig()
 pages, _t, sources = corpus_dataframes(spark, n_docs, seed=42)
-pages = pages.repartition({cores}).persist()
+pages = pages.repartition({parts}).persist()
 n = pages.count()  # materialize input before the clock starts
 t0 = time.time()
 res = run_dedup(pages, cfg, sources=sources)
@@ -61,8 +65,8 @@ spark.stop()
 """
 
 
-def run_once(docs: int, cores: int) -> dict:
-    code = _RUN_SNIPPET.format(repo=REPO, docs=docs, cores=cores)
+def run_once(docs: int, cores: int, parts: int) -> dict:
+    code = _RUN_SNIPPET.format(repo=REPO, docs=docs, cores=cores, parts=parts)
     out = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True,
         timeout=3600,
@@ -82,12 +86,15 @@ def main() -> None:
                     help="interleaved repeats per level; min wall wins "
                          "(the sandbox host's throughput varies ~2x "
                          "between runs, so single measurements mislead)")
+    ap.add_argument("--shuffle-partitions", type=int, default=16,
+                    help="fixed across both levels (cluster analogy: "
+                         "partitioning doesn't change when executors do)")
     args = ap.parse_args()
 
     lows, highs = [], []
     for _ in range(args.repeats):
-        lows.append(run_once(args.docs, args.low))
-        highs.append(run_once(args.docs, args.high))
+        lows.append(run_once(args.docs, args.low, args.shuffle_partitions))
+        highs.append(run_once(args.docs, args.high, args.shuffle_partitions))
     low = min(lows, key=lambda r: r["wall_s"])
     high = min(highs, key=lambda r: r["wall_s"])
     assert low["assign_rows"] == high["assign_rows"], "row count mismatch"
