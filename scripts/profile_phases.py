@@ -27,6 +27,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=200000)
     ap.add_argument("--cores", type=int, default=32)
+    ap.add_argument("--shuffle-partitions", type=int, default=None,
+                    help="fix across core counts to match scaling_bench")
     args = ap.parse_args()
 
     from pyspark import StorageLevel
@@ -44,13 +46,14 @@ def main() -> None:
     from dedup.cluster import assignments_with_singletons, connected_components
     from dedup.verify import attach_features, pair_reasons, url_features, verified_edges
 
+    parts = args.shuffle_partitions or args.cores
     spark = get_spark(
         f"profile-{args.cores}", master=f"local[{args.cores}]",
-        shuffle_partitions=args.cores,
+        shuffle_partitions=parts,
     )
     cfg = DedupConfig()
     pages, _t, sources = corpus_dataframes(spark, args.docs, seed=42)
-    pages = pages.repartition(args.cores).persist()
+    pages = pages.repartition(parts).persist()
     pages.count()
 
     phases: dict[str, float] = {}

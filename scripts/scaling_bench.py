@@ -65,10 +65,18 @@ spark.stop()
 """
 
 
-def run_once(docs: int, cores: int, parts: int) -> dict:
+def run_once(docs: int, cores: int, parts: int, pin: bool = False) -> dict:
     code = _RUN_SNIPPET.format(repo=REPO, docs=docs, cores=cores, parts=parts)
+    # pin: confine the whole process tree (JVM GC/netty/IO threads,
+    # python workers, BLAS) to `cores` physical CPUs — the honest
+    # analogue of an executor host that HAS only that many cores. An
+    # unpinned local[2] JVM still runs 32-CPU GC + shuffle threads,
+    # inflating the low-parallelism baseline.
+    cmd = [sys.executable, "-c", code]
+    if pin:
+        cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
     out = subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True,
+        cmd, capture_output=True, text=True,
         timeout=3600,
     )
     if out.returncode != 0:
@@ -89,12 +97,20 @@ def main() -> None:
     ap.add_argument("--shuffle-partitions", type=int, default=16,
                     help="fixed across both levels (cluster analogy: "
                          "partitioning doesn't change when executors do)")
+    ap.add_argument("--pin", action="store_true",
+                    help="taskset each run to its core budget (bounds "
+                         "JVM GC/netty + python workers, like a real "
+                         "N-core executor host)")
     args = ap.parse_args()
 
     lows, highs = [], []
     for _ in range(args.repeats):
-        lows.append(run_once(args.docs, args.low, args.shuffle_partitions))
-        highs.append(run_once(args.docs, args.high, args.shuffle_partitions))
+        lows.append(
+            run_once(args.docs, args.low, args.shuffle_partitions, args.pin)
+        )
+        highs.append(
+            run_once(args.docs, args.high, args.shuffle_partitions, args.pin)
+        )
     low = min(lows, key=lambda r: r["wall_s"])
     high = min(highs, key=lambda r: r["wall_s"])
     assert low["assign_rows"] == high["assign_rows"], "row count mismatch"
@@ -106,6 +122,7 @@ def main() -> None:
     eff = speedup / ideal
     report = {
         "docs": args.docs,
+        "cpu_pinned": bool(args.pin),
         "low": low,
         "high": high,
         "speedup": round(speedup, 3),
