@@ -15,14 +15,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
-def _undirect(edges: DataFrame) -> DataFrame:
-    """Both directions, self-loops dropped, deduped."""
+def _undirect(edges: DataFrame, dedup: bool = True) -> DataFrame:
+    """Both directions, self-loops dropped, deduped.
+
+    dedup=False skips the distinct shuffle — safe wherever the consumer
+    is a min-aggregation (duplicate edges can't change a min), at the
+    cost of ≤2× row multiplicity through the next join."""
     e = edges.select(F.col("url_a").alias("u"), F.col("url_b").alias("v"))
-    return (
-        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
+    out = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).filter(
+        F.col("u") != F.col("v")
     )
+    return out.distinct() if dedup else out
 
 
 def _with_min(e2: DataFrame) -> DataFrame:
@@ -85,6 +88,24 @@ def connected_components(
     import time
 
     t0 = time.time()
+    # AQE off for the loop: the edge set is small after the verify
+    # gates, and AQE's per-query-stage materialization + re-optimization
+    # adds several driver-only jobs per iteration (measured ~1.3 s of
+    # zero-task wall each) — a pure serial cost here. Restored on exit.
+    spark = edges.sparkSession
+    aqe_prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        return _cc_loop(edges, max_iterations, verbose, t0)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_prev)
+
+
+def _cc_loop(
+    edges: DataFrame, max_iterations: int, verbose: bool, t0: float
+) -> DataFrame:
+    import time
+
     # lazy localCheckpoint: the fingerprint action both materializes the
     # checkpoint and reads the convergence stats — ONE job per iteration
     # instead of eager-checkpoint + collect (halves driver round-trips)
@@ -95,14 +116,21 @@ def connected_components(
     converged = False
     for it in range(max_iterations):
         t = time.time()
+        # star outputs are DISTINCT sets of strictly (larger, smaller)
+        # pairs, so unioning the reversed direction cannot introduce
+        # duplicates — the two in-loop undirects skip their distinct
+        # shuffle (2 fewer shuffles per iteration; edge multiset, and
+        # therefore the convergence fingerprint, provably unchanged)
         after_large = _undirect(
             _large_star(e2).select(
                 F.col("u").alias("url_a"), F.col("v").alias("url_b")
-            )
+            ),
+            dedup=False,
         )
         after_small = _small_star(after_large)
         e2 = _undirect(
-            after_small.select(F.col("u").alias("url_a"), F.col("v").alias("url_b"))
+            after_small.select(F.col("u").alias("url_a"), F.col("v").alias("url_b")),
+            dedup=False,
         ).localCheckpoint(eager=False)
         cur = _fingerprint(e2)
         if verbose:

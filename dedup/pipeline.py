@@ -117,15 +117,6 @@ def run_dedup(
     # invariant below turns any collision from silent corruption into a
     # loud failure.
     keyed = clean.withColumn("uid", F.xxhash64("url"))
-    if cfg.check_uid_collisions:
-        r = keyed.agg(
-            F.count("url").alias("n"), F.count_distinct("uid").alias("d")
-        ).collect()[0]
-        if r["n"] != r["d"]:
-            raise RuntimeError(
-                f"uid collision: {r['n']} urls → {r['d']} distinct xxhash64 "
-                "surrogates; rerun with a 128-bit surrogate key"
-            )
     kpages = keyed.select(
         F.col("uid").alias("url"),
         F.col("url").alias("real_url"),
@@ -148,6 +139,11 @@ def run_dedup(
 
     # exact pre-dedup: one signature per distinct normalized text
     groups = exact_groups(kpages, cfg)
+    if persist:
+        # 4 consumers (representatives, exact edges, estimate filter,
+        # jaccard rep-mapping) — unpersisted, each re-reads the clean
+        # cache and re-hashes (3 duplicate ~17 task-s stages measured)
+        groups = groups.persist(StorageLevel.MEMORY_AND_DISK)
     reps = representatives(groups)
     rep_pages = kpages.join(reps, "url")
 
@@ -158,6 +154,57 @@ def run_dedup(
     if persist:
         # sigs feed banding AND the estimate pre-filter joins
         sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
+
+    # ---- overlap driver planning with executor work -------------------
+    # Catalyst analyzes/optimizes this pipeline's (very deep) plan
+    # single-threaded on the driver; measured at ~35-60 s of ZERO-task
+    # wall in local mode — the dominant serial term in the scaling
+    # bench. Warm the two upstream caches (and run the uid-collision
+    # invariant) from a background thread so executors chew through
+    # normalize/signature work WHILE the driver keeps building and
+    # planning the downstream DAG. Join before CC (below); any failure
+    # re-raises there. Same-content caches make this race-free.
+    warm_errs: list[BaseException] = []
+    warm_thread = None
+    if persist:
+        import threading
+
+        def _warm(clean=clean, keyed=keyed, sigs=sigs) -> None:
+            try:
+                clean.count()
+                if cfg.check_uid_collisions:
+                    r = keyed.agg(
+                        F.count("url").alias("n"),
+                        F.count_distinct("uid").alias("d"),
+                    ).collect()[0]
+                    if r["n"] != r["d"]:
+                        raise RuntimeError(
+                            f"uid collision: {r['n']} urls → {r['d']} "
+                            "distinct xxhash64 surrogates; rerun with a "
+                            "128-bit surrogate key"
+                        )
+                sigs.count()
+            except BaseException as exc:  # noqa: BLE001 — re-raised on join
+                warm_errs.append(exc)
+
+        warm_thread = threading.Thread(
+            target=_warm, name="dedup-cache-warm", daemon=True
+        )
+        warm_thread.start()
+    elif cfg.check_uid_collisions:
+        r = keyed.agg(
+            F.count("url").alias("n"), F.count_distinct("uid").alias("d")
+        ).collect()[0]
+        if r["n"] != r["d"]:
+            raise RuntimeError(
+                f"uid collision: {r['n']} urls → {r['d']} distinct xxhash64 "
+                "surrogates; rerun with a 128-bit surrogate key"
+            )
+
+    # bands stays UNPERSISTED: its three consumers inside
+    # pairs_from_buckets produce identical exchange subtrees that Spark
+    # reuses (ReusedExchange); a cache here was measured to break that
+    # reuse and re-shuffle per consumer
     bands = explode_bands(sigs, cfg)
     raw_candidates, hot = lsh_candidates(bands, cfg)
 
@@ -177,6 +224,11 @@ def run_dedup(
         )
     else:
         feats = feats.withColumn("sources", F.array().cast("array<string>"))
+    if persist:
+        # feats is consumed twice (pair verification + the members tail
+        # after CC); persisting the narrow projection avoids recomputing
+        # it and keeps the post-CC plans shallow
+        feats = feats.persist(StorageLevel.MEMORY_AND_DISK)
     if cfg.estimate_prefilter and cfg.hash_mode == "fast":
         # MinHash-estimate pre-filter: ship only the (num_perm × 8B)
         # signature through the first join and drop candidates whose
@@ -185,7 +237,17 @@ def run_dedup(
         # join then ships the (much wider) shingle arrays for the
         # surviving ~5-10% only.
         all_candidates = _estimate_filter(all_candidates, sigs, groups, cfg)
-    with_j = _jaccard_incl_exact(all_candidates, rep_pages, groups, cfg)
+    if persist:
+        # LAZY plan split at the narrowest waist (16-byte pair rows):
+        # Catalyst's optimizer cost grows super-linearly with tree size,
+        # and the single front-half plan costs ~35 s of driver-only
+        # physical planning at any data size. Splitting here plans two
+        # roughly-half-size trees instead; execution is unchanged (the
+        # checkpoint materializes inside the first downstream action).
+        all_candidates = all_candidates.localCheckpoint(eager=False)
+    with_j = _jaccard_incl_exact(
+        all_candidates, rep_pages, groups, cfg, persist=persist
+    )
     pairs = attach_features(with_j, feats)
     uid_hosts = (
         host_ids.join(
@@ -230,6 +292,16 @@ def run_dedup(
         edges = edges.unionByName(bedges)
 
     edges = edges.select("url_a", "url_b").distinct()
+    # join the cache-warm thread BEFORE the first big action: the
+    # planning overlap already happened during plan construction above,
+    # and launching the main DAG while sigs is still materializing
+    # would RACE the cache — a losing race recomputes the signature UDF
+    # inside the bands stage (measured 237 task-s vs 15 with a warm
+    # cache at 200k docs) and starves the python workers
+    if warm_thread is not None:
+        warm_thread.join()
+        if warm_errs:
+            raise warm_errs[0]
     if persist:
         # materialize + truncate lineage BEFORE the CC loop: Spark 4.1's
         # cache substitution misses this lambda-heavy plan when embedded
@@ -241,6 +313,11 @@ def run_dedup(
     # CC runs entirely on 8-byte surrogate ids
     assign = connected_components(edges)
     assign = assignments_with_singletons(assign, kpages.select("url"))
+    if persist:
+        # lazy checkpoint: truncates the CC-loop lineage out of every
+        # downstream plan (members/labels/survivors each replan the tail
+        # otherwise — measured ~13 s of driver-only planning wall)
+        assign = assign.localCheckpoint(eager=False)
 
     # map back: cluster_id := min real url of the component (identical
     # member sets ⇒ identical labels to the pre-surrogate pipeline)
@@ -335,6 +412,7 @@ def _jaccard_incl_exact(
     rep_pages: DataFrame,
     groups: DataFrame,
     cfg: DedupConfig,
+    persist: bool = False,
 ) -> DataFrame:
     """Jaccard for candidate pairs where both sides may be exact-dup
     members: map each url to its representative's shingle set first.
@@ -351,6 +429,15 @@ def _jaccard_incl_exact(
     rep_sh = with_shingles(
         rep_pages.join(reps_needed, "url"), cfg
     ).select(F.col("url").alias("rep_url"), "shingles")
+    if persist:
+        # consumed twice (url_a side + url_b side of the pair join);
+        # without a persist each side re-runs the shingle UDF over every
+        # needed rep (measured 2 × ~110 task-s at 200k docs / 8 cores —
+        # the python workers are the scarce resource there). The cache
+        # write of the wide array column costs less than one recompute.
+        from pyspark import StorageLevel
+
+        rep_sh = rep_sh.persist(StorageLevel.MEMORY_AND_DISK)
     sh = u2r.join(rep_sh, "rep_url").select("url", "shingles")
     sa = sh.select(F.col("url").alias("url_a"), F.col("shingles").alias("sh_a"))
     sb = sh.select(F.col("url").alias("url_b"), F.col("shingles").alias("sh_b"))
