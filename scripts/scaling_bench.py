@@ -5,6 +5,14 @@ at two parallelism levels (local[N] vs local[4N] — the sandbox stand-in
 for N vs 4N executors), reports throughput at both plus scaling
 efficiency, and asserts the outputs are identical (order-insensitive).
 
+`--weak` additionally runs the executor-analog weak-scaling demo: ONE
+pinned 2-core job vs FOUR fully-independent pinned 2-core jobs on
+disjoint cpusets (own JVM, GC, python workers — the purest single-host
+model of "4 executors"). Its efficiency bounds what ANY Spark workload
+can demonstrate on this host: the four jobs share nothing but the
+memory bus, so their slowdown is pure silicon contention, not pipeline
+structure. Results merge into BENCH_SCALING.json under `weak_scaling`.
+
 Default pair: local[2] → local[8]. The host advertises 32 logical CPUs
 but a Spark-free pure-CPU probe (scripts/cpu_ceiling.py →
 CPU_CEILING.json) shows its parallel throughput is hyperthread/quota
@@ -85,6 +93,45 @@ def run_once(docs: int, cores: int, parts: int, pin: bool = False) -> dict:
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
+def weak_scaling(docs: int, parts: int) -> dict:
+    """1 pinned 2-core job vs 4 concurrent pinned 2-core jobs on
+    disjoint cpusets; every job runs the identical pipeline on the
+    identical (independently generated) input."""
+    import concurrent.futures as cf
+    import time
+
+    code = _RUN_SNIPPET.format(repo=REPO, docs=docs, cores=2, parts=parts)
+
+    def one(cpus: str) -> dict:
+        out = subprocess.run(
+            ["taskset", "-c", cpus, sys.executable, "-c", code],
+            capture_output=True, text=True, timeout=3600,
+        )
+        if out.returncode != 0:
+            sys.stderr.write(out.stderr[-2000:])
+            raise RuntimeError(f"weak-scaling run on cpus {cpus} failed")
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    single = one("0-1")
+    t0 = time.time()
+    with cf.ThreadPoolExecutor(max_workers=4) as ex:
+        quad = list(ex.map(one, ["0-1", "2-3", "4-5", "6-7"]))
+    quad_span = time.time() - t0
+    assert len({r["assign_hash"] for r in quad + [single]}) == 1
+    slowest = max(r["wall_s"] for r in quad)
+    return {
+        "protocol": "1 vs 4 fully-independent pinned 2-core jobs "
+                    "(own JVM/GC/python; disjoint cpusets) — the "
+                    "single-host executor analog",
+        "docs_per_job": docs,
+        "single_wall_s": round(single["wall_s"], 1),
+        "quad_walls_s": [round(r["wall_s"], 1) for r in quad],
+        "quad_span_s": round(quad_span, 1),
+        "efficiency": round(single["wall_s"] / slowest, 3),
+        "outputs_identical": True,
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=200000)
@@ -101,7 +148,24 @@ def main() -> None:
                     help="taskset each run to its core budget (bounds "
                          "JVM GC/netty + python workers, like a real "
                          "N-core executor host)")
+    ap.add_argument("--weak", action="store_true",
+                    help="run ONLY the executor-analog weak-scaling "
+                         "demo and merge it into BENCH_SCALING.json")
+    ap.add_argument("--weak-docs", type=int, default=50000)
     args = ap.parse_args()
+
+    bench_path = os.path.join(REPO, "BENCH_SCALING.json")
+    if args.weak:
+        weak = weak_scaling(args.weak_docs, args.shuffle_partitions)
+        report = {}
+        if os.path.exists(bench_path):
+            with open(bench_path) as f:
+                report = json.load(f)
+        report["weak_scaling"] = weak
+        print(json.dumps(weak, indent=2))
+        with open(bench_path, "w") as f:
+            json.dump(report, f, indent=2)
+        return
 
     lows, highs = [], []
     for _ in range(args.repeats):
