@@ -205,8 +205,14 @@ def main() -> None:
             "eff_8_to_32": ceiling.get("eff_8_to_32"),
             "this_pair": ceiling.get(key),
         }
+    if os.path.exists(bench_path):
+        with open(bench_path) as f:
+            prev = json.load(f)
+        for key in ("weak_scaling", "efficiency_vs_docs"):
+            if key in prev:
+                report[key] = prev[key]
     print(json.dumps(report, indent=2))
-    with open(os.path.join(REPO, "BENCH_SCALING.json"), "w") as f:
+    with open(bench_path, "w") as f:
         json.dump(report, f, indent=2)
 
 
