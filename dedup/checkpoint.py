@@ -78,9 +78,13 @@ class CheckpointStore:
         return f"{self.table_prefix}.{stage}"
 
     def _write_iceberg(self, stage: str, df: DataFrame) -> DataFrame:
-        """DataFrameWriterV2 append-or-create against the stage table.
-        Atomicity comes from Iceberg's snapshot commit (no tmp-dir dance
-        like the parquet branch needs)."""
+        """DataFrameWriterV2 createOrReplace against the stage table —
+        deliberately REPLACE semantics: a stage snapshot is the current
+        run's checkpoint (rerun-idempotent, like the parquet branch's
+        overwrite), not an event log; prior state stays reachable
+        through Iceberg's snapshot history/time-travel. Atomicity comes
+        from Iceberg's snapshot commit (no tmp-dir dance like the
+        parquet branch needs)."""
         target = self._iceberg_table(stage)
         try:
             df.writeTo(target).using("iceberg").createOrReplace()

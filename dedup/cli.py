@@ -101,6 +101,7 @@ def main(argv: list[str] | None = None) -> int:
         candidate_channels=cand_channels,
         bypass_jaccard_channels=bypass_channels,
         run_id=args.run_id,
+        persist_pairs=True,  # stat-parity counters read pair columns
     )
 
     clean_ck = store.write_stage("clean", res.clean.drop("html"))

@@ -76,22 +76,38 @@ def _fingerprint(e2: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
+AQE_OFF_MAX_EDGES = 10_000_000
+
+
 def connected_components(
-    edges: DataFrame, max_iterations: int = 25, verbose: bool = False
+    edges: DataFrame,
+    max_iterations: int = 25,
+    verbose: bool = False,
+    n_edges: int | None = None,
 ) -> DataFrame:
     """edges(url_a, url_b) → assignments(url, cluster_id).
 
     cluster_id is the minimum url of the component — deterministic, like
     the reference's canonical field ordering guarantees
     (lib/record-utils.js:116-131).
+
+    n_edges: pass the (cheaply known) verified-edge count to pick the
+    AQE mode without an extra job. AQE's per-query-stage jobs cost
+    ~1.3 s of driver-only wall per CC iteration — pure serial overhead
+    when the edge set is small — so the loop runs AQE-free below
+    AQE_OFF_MAX_EDGES. ABOVE the bound AQE stays ON: _with_min's join
+    back onto a skewed `u` relies on AQE skew-join splitting for
+    mega-component hubs (a 10⁸-degree boilerplate hub must not land on
+    one reducer), and at that scale the replan cost is noise. With
+    ≤ 10M total edges even a fully-skewed key puts ≤ 10M slim rows on
+    one task — bounded, no skew handling needed.
     """
     import time
 
     t0 = time.time()
-    # AQE off for the loop: the edge set is small after the verify
-    # gates, and AQE's per-query-stage materialization + re-optimization
-    # adds several driver-only jobs per iteration (measured ~1.3 s of
-    # zero-task wall each) — a pure serial cost here. Restored on exit.
+    small = n_edges is not None and n_edges <= AQE_OFF_MAX_EDGES
+    if not small:
+        return _cc_loop(edges, max_iterations, verbose, t0)
     spark = edges.sparkSession
     aqe_prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")

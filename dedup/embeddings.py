@@ -145,7 +145,16 @@ def embedding_dup_pairs(
     lsh_bucketed_topk) and exactly re-ranked — the semantic-dup
     complement to the lexical MinHash/SimHash channels. Near-identical
     embeddings agree on almost every hyperplane sign, so LSH recall is
-    far higher here than in the generic top-k regime."""
+    far higher here than in the generic top-k regime.
+
+    BOUNDED coverage, not the full ≥threshold relation: each vector
+    contributes at most its k nearest above-threshold partners, so a
+    near-duplicate family larger than k emits a connected covering of
+    the family rather than all O(m²) pairs (downstream connected
+    components recovers the full cluster; raise k for pairwise-complete
+    output on small inputs). The oracle spec query
+    (driver_queries.q_embedding_dups) is the uncapped relation on a
+    corpus whose families are far below k, where the two coincide."""
     topk = lsh_bucketed_topk(
         embeddings, k=k, n_planes=n_planes, seed=42,
         n_probes=n_probes, n_tables=n_tables, max_bucket=max_bucket,

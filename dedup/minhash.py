@@ -79,10 +79,12 @@ def shingle_hash_kernel(
         raw = np.zeros(1, dtype=np.uint64)
     else:
         # Horner evaluation over `width` shifted byte views: same
-        # polynomial sum_j b[i+j]*257^(width-1-j) mod 2^64 as the
-        # windowed formulation, but no (n × width) matrix materializes —
-        # one n-vector accumulator and width fused multiply-adds (the
-        # kernel is memory-bandwidth-bound; ~40% less traffic measured)
+        # polynomial sum_j b[i+j]*257^j mod 2^64 as the windowed
+        # formulation (first window byte gets 257^0 — iterate j from
+        # width-1 down to 0 so Horner lands there), but no (n × width)
+        # matrix materializes — one n-vector accumulator and width
+        # fused multiply-adds (the kernel is memory-bandwidth-bound;
+        # ~40% less traffic measured)
         n = len(b) - width + 1
         raw = b[width - 1 : width - 1 + n].astype(np.uint64)
         for j in range(width - 2, -1, -1):

@@ -59,6 +59,18 @@ class DedupResult:
     survivors: DataFrame      # one accepted merged row per cluster + lineage
     rejected: DataFrame       # post-merge-rejected survivor rows (quarantine
                               # routing for the both-authorized case)
+    cached: tuple = ()        # every DataFrame this run persisted
+
+    def release(self) -> None:
+        """Unpersist every cache the run pinned. Call when done with
+        the result in a long-lived session (resume loops, notebooks) —
+        otherwise repeated run_dedup calls accumulate cached blocks
+        until eviction pressure degrades the caches that matter."""
+        for df in self.cached:
+            try:
+                df.unpersist()
+            except Exception:  # session already stopped
+                pass
 
 
 def run_dedup(
@@ -72,6 +84,7 @@ def run_dedup(
     run_id: str = "run-0",
     run_ts: str = "1970-01-01T00:00:00+00:00",
     persist: bool = True,
+    persist_pairs: bool = False,
 ) -> DedupResult:
     """Compose the full pipeline.
 
@@ -91,6 +104,8 @@ def run_dedup(
     """
     from pyspark import StorageLevel
 
+    cached: list[DataFrame] = []  # every persist this run pins (release())
+
     norm = with_normalized(pages)
     clean = quarantine_filter(norm)
     # narrow working set: the binary payload is never used past
@@ -106,6 +121,7 @@ def run_dedup(
         # without a persist every downstream action re-scans + re-derives.
         # On a real cluster this is the natural stage-checkpoint point.
         clean = clean.persist(StorageLevel.MEMORY_AND_DISK)
+        cached.append(clean)
     quarantined = norm.join(clean.select("url"), "url", "left_anti")
 
     # integer surrogate ids: every band/candidate/CC shuffle moves an
@@ -144,6 +160,7 @@ def run_dedup(
         # jaccard rep-mapping) — unpersisted, each re-reads the clean
         # cache and re-hashes (3 duplicate ~17 task-s stages measured)
         groups = groups.persist(StorageLevel.MEMORY_AND_DISK)
+        cached.append(groups)
     reps = representatives(groups)
     rep_pages = kpages.join(reps, "url")
 
@@ -154,6 +171,7 @@ def run_dedup(
     if persist:
         # sigs feed banding AND the estimate pre-filter joins
         sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
+        cached.append(sigs)
 
     # ---- overlap driver planning with executor work -------------------
     # Catalyst analyzes/optimizes this pipeline's (very deep) plan
@@ -229,6 +247,7 @@ def run_dedup(
         # after CC); persisting the narrow projection avoids recomputing
         # it and keeps the post-CC plans shallow
         feats = feats.persist(StorageLevel.MEMORY_AND_DISK)
+        cached.append(feats)
     if cfg.estimate_prefilter and cfg.hash_mode == "fast":
         # MinHash-estimate pre-filter: ship only the (num_perm × 8B)
         # signature through the first join and drop candidates whose
@@ -246,7 +265,8 @@ def run_dedup(
         # checkpoint materializes inside the first downstream action).
         all_candidates = all_candidates.localCheckpoint(eager=False)
     with_j = _jaccard_incl_exact(
-        all_candidates, rep_pages, groups, cfg, persist=persist
+        all_candidates, rep_pages, groups, cfg, persist=persist,
+        cache_registry=cached,
     )
     pairs = attach_features(with_j, feats)
     uid_hosts = (
@@ -273,6 +293,13 @@ def run_dedup(
         count_columns=count_columns or None,
     )
     pairs = with_stat_parity(pairs)
+    if persist_pairs and persist:
+        # callers that consume pair-level outputs (stat-parity counters,
+        # pair dumps) would otherwise replay the whole verification
+        # chain — incl. the shingle-UDF joins — once per consumer; the
+        # edges materialization below populates this cache for free
+        pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+        cached.append(pairs)
     edges = verified_edges(pairs, cfg, "lsh")
 
     if bypass_jaccard_channels:
@@ -310,8 +337,12 @@ def run_dedup(
         # otherwise replay candidate generation + verification.
         edges = edges.localCheckpoint(eager=True)
 
-    # CC runs entirely on 8-byte surrogate ids
-    assign = connected_components(edges)
+    # CC runs entirely on 8-byte surrogate ids; counting the (already
+    # checkpointed) edge set is one trivial job and lets CC pick its
+    # AQE mode — serial-cheap AQE-free iterations for small graphs,
+    # AQE skew-join protection for mega-hub graphs
+    n_edges = edges.count() if persist else None
+    assign = connected_components(edges, n_edges=n_edges)
     assign = assignments_with_singletons(assign, kpages.select("url"))
     if persist:
         # lazy checkpoint: truncates the CC-loop lineage out of every
@@ -368,6 +399,7 @@ def run_dedup(
         assignments=members.select("url", "cluster_id"),
         survivors=survivors,
         rejected=rejected,
+        cached=tuple(cached + [hot]),
     )
 
 
@@ -413,6 +445,7 @@ def _jaccard_incl_exact(
     groups: DataFrame,
     cfg: DedupConfig,
     persist: bool = False,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Jaccard for candidate pairs where both sides may be exact-dup
     members: map each url to its representative's shingle set first.
@@ -438,6 +471,8 @@ def _jaccard_incl_exact(
         from pyspark import StorageLevel
 
         rep_sh = rep_sh.persist(StorageLevel.MEMORY_AND_DISK)
+        if cache_registry is not None:
+            cache_registry.append(rep_sh)
     sh = u2r.join(rep_sh, "rep_url").select("url", "shingles")
     sa = sh.select(F.col("url").alias("url_a"), F.col("shingles").alias("sh_a"))
     sb = sh.select(F.col("url").alias("url_b"), F.col("shingles").alias("sh_b"))

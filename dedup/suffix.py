@@ -236,6 +236,8 @@ def lcp_pairs_distributed(
     pages_with_norm: DataFrame,
     cfg: DedupConfig,
     min_lcp: int | None = None,
+    return_hot: bool = False,
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """Distributed suffix-array pass (SURVEY.md §7 stage 9): cross-doc
     pairs sharing a verbatim passage of ≥ min_lcp chars — shared LONG
@@ -255,6 +257,18 @@ def lcp_pairs_distributed(
     min_lcp must be ≥ cfg.fingerprint_window + cfg.k_shingle - 1 for
     the step-1 guarantee; defaults to cfg.substring_min_len (64 ≥ 40 at
     default config). The kernel compares min(min_lcp, 64)-wide slices.
+
+    collapse_exact (default): exact-duplicate texts collapse to one
+    representative BEFORE fingerprinting (same reason as
+    substring_candidates: an identical family floods every one of its
+    fingerprint blocks past the cap and would silently drop pairs
+    between OTHER docs sharing the passage; run_dedup's exact channel
+    reconnects family members transitively). Blocks still over the cap
+    after the collapse are hyper-common boilerplate passages; they are
+    excluded from the exact kernel, and `return_hot=True` returns them
+    as a second DataFrame (fp, block_size) so the skipped mass is
+    reported, never silent. Pass collapse_exact=False only for
+    uncapped whole-relation parity checks.
     """
     from pyspark.sql import types as T
 
@@ -264,14 +278,26 @@ def lcp_pairs_distributed(
             "min_lcp below the winnowing recall guarantee "
             f"({cfg.fingerprint_window + cfg.k_shingle - 1})"
         )
-    fps = fingerprint_table(pages_with_norm, cfg).distinct()
+    if collapse_exact:
+        reps = (
+            pages_with_norm.groupBy(F.xxhash64("norm_text").alias("th"))
+            .agg(F.min("url").alias("url"))
+            .select("url")
+        )
+        rep_pages = pages_with_norm.join(reps, "url")
+    else:
+        rep_pages = pages_with_norm
+    fps = fingerprint_table(rep_pages, cfg).distinct()
     sizes = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("n"))
     eligible = sizes.filter(
         (F.col("n") >= 2) & (F.col("n") <= cfg.substring_max_bucket)
     ).select("fp")
+    hot = sizes.filter(F.col("n") > cfg.substring_max_bucket).select(
+        "fp", F.col("n").alias("block_size")
+    )
     blocks = fps.join(eligible, "fp")
     with_text = blocks.join(
-        pages_with_norm.select("url", "norm_text"), "url"
+        rep_pages.select("url", "norm_text"), "url"
     )
 
     schema = T.StructType(
@@ -286,8 +312,11 @@ def lcp_pairs_distributed(
         pairs = suffix_array_lcp_pairs(texts, L)
         return pd.DataFrame(pairs, columns=["url_a", "url_b"])
 
-    return (
+    pairs_out = (
         with_text.groupBy("fp")
         .applyInPandas(block_fn, schema)
         .distinct()
     )
+    if return_hot:
+        return pairs_out, hot
+    return pairs_out

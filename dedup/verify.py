@@ -169,7 +169,6 @@ def pair_reasons(
     # the reference throws at the FIRST mismatching tag of its configured
     # list, so at most one count reason fires, in configuration order.
     if count_columns:
-        chain = F.lit(None).cast("string")
         first = None
         for tag, (a_col, b_col) in count_columns.items():
             cond = F.size(F.coalesce(F.col(a_col), F.array())) != F.size(
@@ -179,9 +178,8 @@ def pair_reasons(
             first = (
                 F.when(cond, msg) if first is None else first.when(cond, msg)
             )
-        chain = first
         parts.append(
-            F.when(chain.isNotNull(), F.array(chain)).otherwise(
+            F.when(first.isNotNull(), F.array(first)).otherwise(
                 F.array().cast("array<string>")
             )
         )

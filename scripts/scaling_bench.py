@@ -13,12 +13,14 @@ can demonstrate on this host: the four jobs share nothing but the
 memory bus, so their slowdown is pure silicon contention, not pipeline
 structure. Results merge into BENCH_SCALING.json under `weak_scaling`.
 
-Default pair: local[2] → local[8]. The host advertises 32 logical CPUs
-but a Spark-free pure-CPU probe (scripts/cpu_ceiling.py →
-CPU_CEILING.json) shows its parallel throughput is hyperthread/quota
-bound above ~8-16 processes (2→8 efficiency 0.93, 8→32 efficiency
-0.44) — so 8→32 measures the silicon, not the pipeline, and the N→4N
-demonstration must sit in the linear region. See BASELINE.md.
+Default pair: local[2] → local[8]. The host exposes 32 physical cores
+(no SMT, no cgroup quota, no visible steal), but Spark-free probes
+(scripts/cpu_ceiling.py → CPU_CEILING.json) show ALL throughput
+classes collapse above ~8-16 processes, and memory-bound work is
+bus-limited even at 2→8 (streaming memcpy 0.61-0.85 vs ALU 0.93-0.97)
+— so 8→32 measures the silicon, the N→4N demonstration must sit in
+the ALU-linear region, and a shuffle/cache-heavy pipeline must be read
+against the membw ceiling, not the ALU one. See BASELINE.md.
 
     python scripts/scaling_bench.py [--docs 200000] [--low 2] [--high 8]
 
@@ -200,10 +202,13 @@ def main() -> None:
             ceiling = json.load(f)
         key = f"eff_{args.low}_to_{args.high}"
         report["hardware_ceiling"] = {
-            "probe": "scripts/cpu_ceiling.py (Spark-free pure-CPU)",
-            "eff_2_to_8": ceiling.get("eff_2_to_8"),
-            "eff_8_to_32": ceiling.get("eff_8_to_32"),
-            "this_pair": ceiling.get(key),
+            "probe": "scripts/cpu_ceiling.py (Spark-free)",
+            "alu_this_pair": ceiling.get("alu", {}).get(key),
+            "membw_this_pair": ceiling.get("membw", {}).get(key),
+            "note": "the pipeline is shuffle/cache-heavy; read its "
+                    "efficiency against the membw ceiling (one shared "
+                    "bus on this host; a real N->4N executor scale-up "
+                    "multiplies buses)",
         }
     if os.path.exists(bench_path):
         with open(bench_path) as f:

@@ -115,11 +115,14 @@ def _blocked_kind_pairs(res, truth, kind):
     blocked = truth.filter(F.col("dup_kind") == kind).select("url")
     n_blocked = blocked.count()
     assert n_blocked > 0, f"no planted {kind} docs"
-    pairs = res.pairs.join(
-        blocked.withColumnRenamed("url", "url_b"), "url_b"
-    ).union(
-        res.pairs.join(blocked.withColumnRenamed("url", "url_a"), "url_a")
+    pairs = (
+        res.pairs.join(blocked.withColumnRenamed("url", "url_b"), "url_b")
         .select(res.pairs.columns)
+        .unionByName(
+            res.pairs.join(
+                blocked.withColumnRenamed("url", "url_a"), "url_a"
+            ).select(res.pairs.columns)
+        )
     )
     return pairs
 

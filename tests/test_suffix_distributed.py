@@ -49,7 +49,9 @@ def test_distributed_equals_brute_force(spark, clean_pdf):
     L = 64  # ≥ window + k - 1 = 40 → winnowing recall guarantee holds
     got = {
         (r["url_a"], r["url_b"])
-        for r in lcp_pairs_distributed(clean, cfg, min_lcp=L).collect()
+        for r in lcp_pairs_distributed(
+            clean, cfg, min_lcp=L, collapse_exact=False
+        ).collect()
     }
     expected = _brute_pairs(pdf, min(L, 64))
     assert got == expected
@@ -64,7 +66,9 @@ def test_distributed_equals_whole_corpus_kernel(spark, clean_pdf):
     kernel = set(suffix_array_lcp_pairs(texts, L))
     got = {
         (r["url_a"], r["url_b"])
-        for r in lcp_pairs_distributed(clean, cfg, min_lcp=L).collect()
+        for r in lcp_pairs_distributed(
+            clean, cfg, min_lcp=L, collapse_exact=False
+        ).collect()
     }
     assert got == kernel
 
@@ -73,3 +77,26 @@ def test_min_lcp_guard():
     cfg = DedupConfig()
     with pytest.raises(ValueError):
         lcp_pairs_distributed(None, cfg, min_lcp=10)
+
+
+def test_exact_family_does_not_nuke_shared_passage_recall(spark):
+    """An over-cap exact-duplicate family sharing a passage with two
+    OTHER distinct docs must not evict that distinct-doc pair from the
+    channel (regression: pre-collapse, the family flooded every block
+    of the passage past substring_max_bucket and the pair was silently
+    dropped)."""
+    passage = "the quick brown fox jumps over the lazy dog " * 3
+    fam = [(f"http://fam/{i}", f"family copy {passage} tail") for i in range(80)]
+    others = [
+        ("http://a/1", f"doc one prefix {passage} unique suffix alpha"),
+        ("http://b/2", f"doc two start {passage} unique suffix beta"),
+    ]
+    df = spark.createDataFrame(fam + others, ["url", "norm_text"])
+    cfg = DedupConfig()  # default substring_max_bucket=64 < 80
+    pairs, hot = lcp_pairs_distributed(
+        df, cfg, min_lcp=64, return_hot=True
+    )
+    got = {(r["url_a"], r["url_b"]) for r in pairs.collect()}
+    assert ("http://a/1", "http://b/2") in got
+    # the family collapsed to one rep, so its blocks are NOT hot
+    assert hot.count() == 0
