@@ -462,6 +462,27 @@ def q_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lcp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed suffix-array shared-passage pass (dedup/suffix.py
+    lcp_pairs_distributed, SURVEY.md §7 stage 9): THE PRODUCTION
+    OPERATOR, not a spec reformulation — winnowing fingerprints block
+    the suffix space, each block runs the exact block-local
+    suffix-array kernel in applyInPandas. With min_lcp = 64 ≥
+    window + k - 1 the winnowing guarantee makes the block pass equal
+    the plain L-gram-sharing relation, which is what the DuckDB oracle
+    computes independently (unnest all 64-grams, self-join).
+    collapse_exact=False + uncapped blocks on this tiny tier so the
+    whole relation is emitted (production defaults collapse exact-dup
+    families and cap boilerplate blocks; see the module docstring)."""
+    from dedup.suffix import lcp_pairs_distributed
+
+    clean = _clean(spark, sf_dir).select("url", "norm_text")
+    cfg = DedupConfig(substring_max_bucket=1_000_000_000)
+    return lcp_pairs_distributed(
+        clean, cfg, min_lcp=64, collapse_exact=False
+    ).select("url_a", "url_b")
+
+
 def q_simhash_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Portable weighted-SimHash bit votes: for each url and bit 0..63,
     the frequency-weighted vote margin over h60 token hashes (one vote
@@ -616,6 +637,7 @@ QUERIES = {
     "extent_inference": q_extent_infer,
     "pair_gate_reasons": q_pair_gates,
     "embedding_dup_pairs": q_embedding_dups,
+    "lcp_shared_passages": q_lcp_pairs,
 }
 
 
@@ -809,6 +831,20 @@ FROM clean a JOIN clean b
   ON a.url <> b.url
  AND length(a.norm_text) < length(b.norm_text)
  AND position(a.norm_text IN b.norm_text) > 0
+"""
+
+ORACLES["lcp_shared_passages"] = f"""
+WITH {_PAGES_CTE.strip()}, {_NORM_CTE.strip()}, {_CLEAN_CTE.strip()},
+grams AS (
+  SELECT DISTINCT url, g FROM (
+    SELECT url,
+           unnest(list_transform(range(1, greatest(length(norm_text) - 63, 0) + 1),
+                                 i -> substr(norm_text, i::INT, 64))) AS g
+    FROM clean WHERE length(norm_text) >= 64
+  )
+)
+SELECT DISTINCT a.url AS url_a, b.url AS url_b
+FROM grams a JOIN grams b ON a.g = b.g AND a.url < b.url
 """
 
 ORACLES["simhash_bits"] = f"""
