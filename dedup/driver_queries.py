@@ -462,6 +462,41 @@ def q_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_estimate_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-estimate pre-filter (dedup/pipeline._estimate_filter) in
+    its oracle-checkable portable form: per LSH candidate pair, the
+    count of agreeing signature positions and the keep/drop decision at
+    estimate_floor — the gate that ships only (num_perm × 8 B)
+    signatures through the first join and drops pairs that cannot
+    plausibly reach the Jaccard threshold, BEFORE any shingle-array
+    join. Production runs the identical zip_with agreement expression
+    over the fast-mode signatures. Integer micro arithmetic — no
+    floats."""
+    floor_micro = int(CFG.estimate_floor * 1_000_000)
+    cands = _candidates(spark, sf_dir)
+    sigs = signatures(_clean(spark, sf_dir), CFG).select("url", "sig")
+    sa = sigs.select(F.col("url").alias("url_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("url").alias("url_b"), F.col("sig").alias("sig_b"))
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda e: e
+        )
+    ).cast("long")
+    n_perm = F.size("sig_a").cast("long")
+    return (
+        cands.join(sa, "url_a")
+        .join(sb, "url_b")
+        .select(
+            "url_a",
+            "url_b",
+            agree.alias("n_agree"),
+            (agree * 1_000_000 >= F.lit(floor_micro) * n_perm)
+            .cast("int")
+            .alias("keep"),
+        )
+    )
+
+
 def q_lcp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed suffix-array shared-passage pass (dedup/suffix.py
     lcp_pairs_distributed, SURVEY.md §7 stage 9): THE PRODUCTION
@@ -638,6 +673,7 @@ QUERIES = {
     "pair_gate_reasons": q_pair_gates,
     "embedding_dup_pairs": q_embedding_dups,
     "lcp_shared_passages": q_lcp_pairs,
+    "estimate_agreement": q_estimate_agreement,
 }
 
 
@@ -831,6 +867,20 @@ FROM clean a JOIN clean b
   ON a.url <> b.url
  AND length(a.norm_text) < length(b.norm_text)
  AND position(a.norm_text IN b.norm_text) > 0
+"""
+
+ORACLES["estimate_agreement"] = f"""
+WITH {_PAGES_CTE.strip()}, {_NORM_CTE.strip()}, {_CLEAN_CTE.strip()},
+{_SHINGLE_CTE.strip()}, {_SIG_CTE.strip()}, {_BANDS_CTE.strip()},
+{_CAND_CTE.strip()}
+SELECT c.url_a, c.url_b,
+       sum((sa.sig_val = sb.sig_val)::INT)::BIGINT AS n_agree,
+       (sum((sa.sig_val = sb.sig_val)::INT) * 1000000
+          >= {int(CFG.estimate_floor * 1_000_000)} * count(*))::INT AS keep
+FROM cands c
+JOIN sig sa ON sa.url = c.url_a
+JOIN sig sb ON sb.url = c.url_b AND sb.perm = sa.perm
+GROUP BY c.url_a, c.url_b
 """
 
 ORACLES["lcp_shared_passages"] = f"""
