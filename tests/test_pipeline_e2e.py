@@ -240,3 +240,18 @@ def test_survivor_determinism_and_preference(result, spark):
     )
     j = a.join(b, a.cluster_id == b.cluster_id2)
     assert j.filter(F.col("survivor_url") != F.col("s2")).count() == 0
+
+
+def test_release_unpersists_all_pinned_caches(spark):
+    """DedupResult.release() must drop every cache the run pinned —
+    long-lived sessions (resume loops, notebooks) otherwise accumulate
+    blocks until eviction degrades the caches that matter."""
+    pages, _truth, sources = corpus_dataframes(spark, n_docs=200, seed=7)
+    res = run_dedup(pages, DedupConfig(), sources=sources,
+                    persist_pairs=True)
+    res.survivors.count()  # materialize the caches
+    assert len(res.cached) >= 6  # clean/groups/sigs/feats/pairs/rep_sh/hot
+    assert any(df.storageLevel.useMemory for df in res.cached)
+    res.release()
+    assert all(not df.storageLevel.useMemory for df in res.cached)
+    res.release()  # idempotent
