@@ -68,6 +68,7 @@ def pairs_from_buckets(
     min_collisions: int = 1,
     keep_collisions: bool = False,
     max_bucket: int | None = None,
+    cache_registry: list | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Generic bucket → unordered-pair expansion with hot-bucket star
     fallback. `bucketed` has key_cols + `url`. Returns
@@ -97,8 +98,13 @@ def pairs_from_buckets(
     )
     # hot is tiny (over-cap keys only) but its lineage is the full stats
     # shuffle; it feeds TWO broadcast exchanges (anti-join + star join),
-    # which would otherwise each recompute that shuffle
+    # which would otherwise each recompute that shuffle. The PERSISTED
+    # frame itself goes into cache_registry — unpersist() on a derived
+    # projection would not release this cache (plan no longer
+    # sameResult), so callers must release exactly this object.
     hot = hot.persist()
+    if cache_registry is not None:
+        cache_registry.append(hot)
 
     # --- sub-cap buckets: full pair expansion over bounded arrays -----
     small = (
@@ -149,10 +155,11 @@ def pairs_from_buckets(
 
 
 def lsh_candidates(
-    bands: DataFrame, cfg: DedupConfig
+    bands: DataFrame, cfg: DedupConfig, cache_registry: list | None = None
 ) -> tuple[DataFrame, DataFrame]:
     """Candidate pairs from exploded LSH bands (url, band_idx, band_key)."""
     return pairs_from_buckets(
         bands, ["band_idx", "band_key"], cfg,
         min_collisions=cfg.min_band_collisions,
+        cache_registry=cache_registry,
     )

@@ -98,6 +98,17 @@ class CheckpointStore:
     def write_stage(self, stage: str, df: DataFrame, **meta) -> DataFrame:
         """Materialize a stage output; idempotent on rerun."""
         if self.completed(stage):
+            # a resume must read the snapshot with the format that wrote
+            # it: silently reading a stale parquet dir (or a nonexistent
+            # Iceberg table) under a different table_format would hand
+            # back wrong data instead of failing
+            written = self._read_manifest()[stage].get("format", "parquet")
+            if written != self.table_format:
+                raise RuntimeError(
+                    f"stage {stage!r} was checkpointed as {written!r} but "
+                    f"this store is configured for {self.table_format!r}; "
+                    "resume with the original format or invalidate the stage"
+                )
             return self.read_stage(df.sparkSession, stage)
         if self.table_format == "iceberg":
             out = self._write_iceberg(stage, df)

@@ -43,21 +43,45 @@ def main(argv: list[str] | None = None) -> int:
                          "candidates (opt-in: shared long passages are "
                          "usually quotes/boilerplate, so its pairs still "
                          "face the full Jaccard + reason verification)")
+    ap.add_argument("--authority-sources", default="",
+                    help="comma list of source names whose members outrank "
+                         "all others in survivor selection "
+                         "(preferredRecordInFENNI analogue)")
+    ap.add_argument("--host-ids", default=None,
+                    help="parquet path with a `url` column: known host "
+                         "records — any pair touching one is blocked "
+                         "(notHostRecord analogue, broadcast side table)")
+    ap.add_argument("--authorized-names", default=None,
+                    help="parquet path with (name_normalized, canonical): "
+                         "authorized display forms for the post-merge "
+                         "override; both-authorized clusters are routed "
+                         "to `rejected`")
     args = ap.parse_args(argv)
 
     from dedup.checkpoint import CheckpointStore
     from dedup.config import DedupConfig
-    from dedup.corpus import corpus_dataframes
     from dedup.metrics import StageMetrics
-    from dedup.pipeline import run_dedup
+    from dedup.corpus import corpus_dataframes
+    from dedup.pipeline import prepare_clean, run_dedup
     from dedup.session import get_spark
-    from dedup.simhash import simhash_candidates, with_simhash
-    from dedup.normalize import quarantine_filter, with_normalized
+    from dedup.simhash import simhash_channel
     from dedup.suffix import substring_edges
+    from pyspark import StorageLevel
     from pyspark.sql import functions as F
 
     spark = get_spark("dedup-cli", master=args.master)
-    cfg = DedupConfig(jaccard_threshold=args.jaccard)
+    authority = tuple(s for s in args.authority_sources.split(",") if s)
+    cfg = DedupConfig(
+        jaccard_threshold=args.jaccard, authority_sources=authority
+    )
+    host_ids = (
+        spark.read.parquet(args.host_ids) if args.host_ids else None
+    )
+    authorized_names = (
+        spark.read.parquet(args.authorized_names)
+        if args.authorized_names
+        else None
+    )
     store = CheckpointStore(args.output, run_id=args.run_id)
     if not args.resume:
         store.invalidate_from("clean", [
@@ -76,32 +100,46 @@ def main(argv: list[str] | None = None) -> int:
 
     channels = set(args.channels.split(","))
     cand_channels, bypass_channels = [], []
-    norm = with_normalized(pages)
-    clean = quarantine_filter(norm)
+    channel_caches: list = []
+    # ONE normalization for channels + pipeline: every channel and
+    # run_dedup itself consume this persisted narrow frame (cache
+    # substitution matches plan identity — same object everywhere)
+    clean = prepare_clean(pages).persist(StorageLevel.MEMORY_AND_DISK)
+    channel_caches.append(clean)
     if "simhash" in channels:
-        sim = with_simhash(clean, cfg).select("url", "simhash")
-        sim_pairs, sim_hot = simhash_candidates(sim, cfg)
         # Hamming <= max_hamming IS the channel's similarity verification
         # (order-insensitive near-dups have sub-threshold char-shingle
         # Jaccard) — bypass the Jaccard gate, keep the reason gates
+        sim_pairs, sim_hot = simhash_channel(
+            clean, cfg, cache_registry=channel_caches
+        )
         bypass_channels.append(sim_pairs.select("url_a", "url_b"))
         metrics.record_stage("simhash_hot_buckets", sim_hot)
     if "substring" in channels:
-        sub_edges, sub_hot = substring_edges(clean, cfg)
+        sub_edges, sub_hot = substring_edges(
+            clean, cfg, cache_registry=channel_caches
+        )
         bypass_channels.append(sub_edges.select("url_a", "url_b"))
         metrics.record_stage("substring_hot_buckets", sub_hot)
     if "lcp" in channels:
         from dedup.suffix import lcp_pairs_distributed
 
-        lcp_pairs = lcp_pairs_distributed(clean, cfg)
+        lcp_pairs, lcp_hot, lcp_skipped = lcp_pairs_distributed(
+            clean, cfg, return_stats=True
+        )
         cand_channels.append(lcp_pairs.select("url_a", "url_b"))
+        metrics.record_stage("lcp_hot_blocks", lcp_hot)
+        metrics.record_stage("lcp_skipped_doc_blocks", lcp_skipped)
 
     res = run_dedup(
         pages, cfg, sources=sources,
+        host_ids=host_ids,
+        authorized_names=authorized_names,
         candidate_channels=cand_channels,
         bypass_jaccard_channels=bypass_channels,
         run_id=args.run_id,
         persist_pairs=True,  # stat-parity counters read pair columns
+        clean=clean,
     )
 
     clean_ck = store.write_stage("clean", res.clean.drop("html"))
@@ -138,6 +176,12 @@ def main(argv: list[str] | None = None) -> int:
     )
     metrics.write(f"{args.output}/metrics.jsonl")
     print(json.dumps(metrics.records[-1]))
+    res.release()
+    for df in channel_caches:
+        try:
+            df.unpersist()
+        except Exception:
+            pass
     spark.stop()
     return 0
 

@@ -73,6 +73,13 @@ class DedupConfig:
     simhash_bits: int = 64
     simhash_chunks: int = 4           # pigeonhole chunks (distance <= chunks-1)
     simhash_max_hamming: int = 3
+    # Degenerate-short-doc guard: SimHash pairs bypass the Jaccard gate
+    # (Hamming IS the channel's verification), but a frequency-weighted
+    # fingerprint over a handful of tokens is dominated by shared
+    # vocabulary — two unrelated short docs can collide within the
+    # Hamming ball. Docs whose normalized text is shorter than this
+    # never enter the channel (they still reach exact/LSH dedup).
+    simhash_min_len: int = 64
 
     # --- substring / suffix channel --------------------------------
     fingerprint_window: int = 32      # winnowing window (chars)
@@ -83,6 +90,14 @@ class DedupConfig:
     # many) are legitimate up to this cap, boilerplate floods beyond it
     # take the star path
     substring_max_bucket: int = 64
+    # Distributed-LCP per-DOC fan-out bound: the block pass ships each
+    # doc's norm_text once per eligible fingerprint block, so a
+    # quote-heavy doc sharing hundreds of distinct passages would
+    # replicate its text hundreds of times through the shuffle. Each doc
+    # joins at most this many blocks (rarest blocks first — smallest
+    # block size, then fp, deterministic); the skipped mass is reported,
+    # never silent. None = unbounded (oracle/parity runs).
+    lcp_max_blocks_per_doc: int | None = 128
 
     # --- skew / scale hygiene --------------------------------------
     # LSH band bucket cap: buckets above this switch to O(m) star pairs.
@@ -97,6 +112,10 @@ class DedupConfig:
 
     # --- survivor selection ----------------------------------------
     lang_priority: tuple[str, ...] = ("fi", "sv", "en", "de", "fr", "es", "zh")
+    # preferredRecordInFENNI analogue (mergeability-validators.js:69-81):
+    # a cluster member carrying any of these sources outranks every
+    # non-authority member in survivor selection, before freshness.
+    authority_sources: tuple[str, ...] = ()
 
     # --- rule engine ------------------------------------------------
     field_rules: dict[str, list[str]] = field(
@@ -111,10 +130,17 @@ class DedupConfig:
     # one cheap aggregate asserting count_distinct(uid) == count(url)
     # before any surrogate-keyed shuffle: a 64-bit collision would
     # silently fuse two unrelated pages (expected colliding pairs at
-    # 10^12 docs ≈ n²/2⁶⁵ ≈ 27k — switch to a 128-bit two-column
-    # surrogate at that scale; at the sandbox's ≤10⁷ docs the expected
-    # count is ≤ 3e-6, and this check turns 'silent' into 'loud').
+    # 10^12 docs ≈ n²/2⁶⁵ ≈ 27k — uid_bits=128 is required at that
+    # scale; at the sandbox's ≤10⁷ docs the expected count is ≤ 3e-6,
+    # and this check turns 'silent' into 'loud').
     check_uid_collisions: bool = True
+    # surrogate-key width: 64 → xxhash64 long (8 bytes through every
+    # band/candidate/CC shuffle — the production default at ≤10¹⁰ docs);
+    # 128 → md5 hex string (16-byte digest, 32-byte column) for the
+    # 10^12-doc design point where 64-bit birthday collisions become
+    # expected. Every operator treats uid as an opaque orderable key,
+    # so the two paths produce identical cluster assignments.
+    uid_bits: int = 64
 
     def __post_init__(self) -> None:
         if self.bands * self.rows_per_band != self.num_perm:
@@ -123,6 +149,8 @@ class DedupConfig:
             raise ValueError("portable bands * rows must equal portable_num_perm")
         if self.hash_mode not in ("fast", "portable"):
             raise ValueError(f"unknown hash_mode {self.hash_mode!r}")
+        if self.uid_bits not in (64, 128):
+            raise ValueError("uid_bits must be 64 or 128")
 
     @property
     def effective_num_perm(self) -> int:

@@ -512,7 +512,9 @@ def q_lcp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dedup.suffix import lcp_pairs_distributed
 
     clean = _clean(spark, sf_dir).select("url", "norm_text")
-    cfg = DedupConfig(substring_max_bucket=1_000_000_000)
+    cfg = DedupConfig(
+        substring_max_bucket=1_000_000_000, lcp_max_blocks_per_doc=None
+    )
     return lcp_pairs_distributed(
         clean, cfg, min_lcp=64, collapse_exact=False
     ).select("url_a", "url_b")
@@ -1014,6 +1016,11 @@ reasons AS (
       -- sameAuthorType count gate
       CASE WHEN len(a_hd) <> len(b_hd)
            THEN 'Field count mismatch for field headings' END,
+      -- toAuthorityQueryObject multiplicity guard (record-utils.js:60-63)
+      CASE WHEN len(a_hd) > 1
+           THEN 'Record has multiple names: ' || array_to_string(a_hd, ',') END,
+      CASE WHEN len(b_hd) > 1
+           THEN 'Record has multiple names: ' || array_to_string(b_hd, ',') END,
       -- same300TypeAndCount
       CASE WHEN (a_ext IS NOT NULL OR b_ext IS NOT NULL)
             AND (a_ext IS DISTINCT FROM b_ext)

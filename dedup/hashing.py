@@ -54,6 +54,31 @@ def splitmix64(x: np.ndarray) -> np.ndarray:
     return x
 
 
+def rolling_poly_hashes(b: np.ndarray, width: int) -> np.ndarray:
+    """splitmix64-finalized polynomial rolling hashes of every `width`-byte
+    window of `b` (uint8): h[i] = splitmix64(Σ_j b[i+j]·257^j mod 2⁶⁴).
+
+    THE shared k-gram hash construction — the MinHash shingle kernel
+    (dedup/minhash.py) and the winnowing fingerprint kernel
+    (dedup/suffix.py) must stay bit-identical, so both call this.
+
+    Horner evaluation over `width` shifted byte views: iterate j from
+    width-1 down to 0 so the FIRST window byte lands on 257^0. One
+    n-vector accumulator and `width` fused multiply-adds — no
+    (n × width) matrix ever materializes (the kernel is memory-
+    bandwidth-bound; the windowed matmul form cost ~40% more traffic
+    and 8·width bytes per input byte of peak memory)."""
+    n = len(b) - width + 1
+    if n <= 0:
+        return np.empty(0, dtype=np.uint64)
+    base = np.uint64(257)
+    raw = b[width - 1 : width - 1 + n].astype(np.uint64)
+    for j in range(width - 2, -1, -1):
+        raw *= base
+        raw += b[j : j + n]
+    return splitmix64(raw)
+
+
 def perm_seeds(num_perm: int, seed: int) -> np.ndarray:
     """Deterministic per-permutation 64-bit seeds."""
     base = splitmix64(np.arange(num_perm, dtype=np.uint64) + np.uint64(seed) * np.uint64(0x51ED2701))

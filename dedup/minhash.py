@@ -72,27 +72,14 @@ def shingle_hash_kernel(
     shingle (matching shingles_expr's clamp)."""
     if text is None:
         return None
+    from dedup.hashing import rolling_poly_hashes, splitmix64
+
     b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
     width = min(k, max(len(b), 1))
-    base = np.uint64(257)
     if len(b) == 0:
-        raw = np.zeros(1, dtype=np.uint64)
+        h = splitmix64(np.zeros(1, dtype=np.uint64))
     else:
-        # Horner evaluation over `width` shifted byte views: same
-        # polynomial sum_j b[i+j]*257^j mod 2^64 as the windowed
-        # formulation (first window byte gets 257^0 — iterate j from
-        # width-1 down to 0 so Horner lands there), but no (n × width)
-        # matrix materializes — one n-vector accumulator and width
-        # fused multiply-adds (the kernel is memory-bandwidth-bound;
-        # ~40% less traffic measured)
-        n = len(b) - width + 1
-        raw = b[width - 1 : width - 1 + n].astype(np.uint64)
-        for j in range(width - 2, -1, -1):
-            raw *= base
-            raw += b[j : j + n]
-    from dedup.hashing import splitmix64
-
-    h = splitmix64(raw)
+        h = rolling_poly_hashes(b, width)
     if mask31:
         h = (h & np.uint64(0x7FFFFFFF)).astype(np.int32)
     else:

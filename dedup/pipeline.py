@@ -73,6 +73,23 @@ class DedupResult:
                 pass
 
 
+def prepare_clean(pages: DataFrame) -> DataFrame:
+    """Normalize → quarantine-filter → narrow: the shared pre-channel
+    working set. Callers that feed extra channels (SimHash / substring /
+    LCP) AND run_dedup should build this ONCE, persist it, and pass the
+    same object to both — every consumer then reads one cache instead of
+    re-running the normalizer per channel (cache substitution matches on
+    plan identity, so it must be literally the same frame).
+
+    Narrow by construction: the binary payload is never used past
+    normalization, and raw text reduces to its length (survivor
+    ordering). norm_text stays — exact hashing and shingles recompute
+    from it instead of caching wide arrays."""
+    clean = quarantine_filter(with_normalized(pages))
+    clean = clean.withColumn("text_len", F.length("text"))
+    return clean.drop(*[c for c in ("html", "text") if c in clean.columns])
+
+
 def run_dedup(
     pages: DataFrame,
     cfg: DedupConfig,
@@ -85,6 +102,7 @@ def run_dedup(
     run_ts: str = "1970-01-01T00:00:00+00:00",
     persist: bool = True,
     persist_pairs: bool = False,
+    clean: DataFrame | None = None,
 ) -> DedupResult:
     """Compose the full pipeline.
 
@@ -101,22 +119,20 @@ def run_dedup(
       for the post-merge authorized-format override
       (post-merge-modifiers.js:203-240); both-authorized clusters are
       routed to `rejected`, the reference's throw (:221-223).
+    clean: optional pre-built prepare_clean(pages) frame — pass it when
+      the caller also built channels from the same frame, so the whole
+      run shares one normalization cache. Caller-owned: this function
+      neither persists nor releases it (release() won't touch it).
     """
     from pyspark import StorageLevel
 
     cached: list[DataFrame] = []  # every persist this run pins (release())
 
     norm = with_normalized(pages)
-    clean = quarantine_filter(norm)
-    # narrow working set: the binary payload is never used past
-    # normalization, and raw text reduces to its length (survivor
-    # ordering). norm_text stays — exact hashing and shingles recompute
-    # from it instead of caching wide arrays.
-    clean = clean.withColumn("text_len", F.length("text"))
-    for c in ("html", "text"):
-        if c in clean.columns:
-            clean = clean.drop(c)
-    if persist:
+    caller_clean = clean is not None
+    if not caller_clean:
+        clean = prepare_clean(pages)
+    if persist and not caller_clean:
         # clean feeds exact-grouping, signatures, features and members —
         # without a persist every downstream action re-scans + re-derives.
         # On a real cluster this is the natural stage-checkpoint point.
@@ -124,15 +140,19 @@ def run_dedup(
         cached.append(clean)
     quarantined = norm.join(clean.select("url"), "url", "left_anti")
 
-    # integer surrogate ids: every band/candidate/CC shuffle moves an
-    # 8-byte long instead of a ~50-byte url string (the pipeline is
-    # memory-bandwidth-bound at high core counts). xxhash64 keeps the
-    # mapping deterministic. Expected colliding pairs ≈ n²/2⁶⁵ — ~27k at
-    # the 10^12-doc design point, where the two-column 128-bit surrogate
-    # is required; at sandbox scales (≤10⁷) it is ≤ 3e-6 and the
-    # invariant below turns any collision from silent corruption into a
+    # surrogate ids: every band/candidate/CC shuffle moves a compact key
+    # instead of a ~50-byte url string (the pipeline is memory-
+    # bandwidth-bound at high core counts). uid_bits=64 → xxhash64 long
+    # (8 bytes; production default, expected colliding pairs ≈ n²/2⁶⁵ —
+    # ~27k at the 10^12-doc design point); uid_bits=128 → md5 hex (the
+    # 10^12-doc path, collision probability ≈ n²/2¹²⁹ ≈ 1e-15). Both are
+    # deterministic and opaque-orderable, so downstream operators
+    # (least/greatest, CC min-aggregation, joins) are width-agnostic and
+    # the two paths yield identical cluster assignments; the invariant
+    # below turns any residual collision from silent corruption into a
     # loud failure.
-    keyed = clean.withColumn("uid", F.xxhash64("url"))
+    uid_expr = F.xxhash64("url") if cfg.uid_bits == 64 else F.md5("url")
+    keyed = clean.withColumn("uid", uid_expr)
     kpages = keyed.select(
         F.col("uid").alias("url"),
         F.col("url").alias("real_url"),
@@ -224,7 +244,7 @@ def run_dedup(
     # reuses (ReusedExchange); a cache here was measured to break that
     # reuse and re-shuffle per consumer
     bands = explode_bands(sigs, cfg)
-    raw_candidates, hot = lsh_candidates(bands, cfg)
+    raw_candidates, hot = lsh_candidates(bands, cfg, cache_registry=cached)
 
     # exact-dup pairs join the same verification path (the reference
     # gates identical records too — canMerge runs on every pair)
@@ -363,7 +383,8 @@ def run_dedup(
         .withColumnRenamed("cluster_label", "cluster_id")
     )
     survivors = select_survivors(
-        members, cfg, run_id=run_id, run_ts=run_ts
+        members, cfg, authority_sources=cfg.authority_sources,
+        run_id=run_id, run_ts=run_ts,
     )
     survivors = reprint_notes(members, survivors)
     # post-merge tail (applyPostMergeModifications ordering,
@@ -399,7 +420,7 @@ def run_dedup(
         assignments=members.select("url", "cluster_id"),
         survivors=survivors,
         rejected=rejected,
-        cached=tuple(cached + [hot]),
+        cached=tuple(cached),
     )
 
 

@@ -130,7 +130,7 @@ def chunk_keys_expr(cfg: DedupConfig) -> Column:
 
 
 def simhash_candidates(
-    simhashed: DataFrame, cfg: DedupConfig
+    simhashed: DataFrame, cfg: DedupConfig, cache_registry: list | None = None
 ) -> tuple[DataFrame, DataFrame]:
     """(url, simhash) → verified pairs within the Hamming ball.
 
@@ -142,7 +142,10 @@ def simhash_candidates(
     exploded = simhashed.select(
         "url", "simhash", F.explode(chunk_keys_expr(cfg)).alias("ck")
     ).select("url", F.col("ck.chunk_idx"), F.col("ck.chunk_key"))
-    pairs, hot = pairs_from_buckets(exploded, ["chunk_idx", "chunk_key"], cfg)
+    pairs, hot = pairs_from_buckets(
+        exploded, ["chunk_idx", "chunk_key"], cfg,
+        cache_registry=cache_registry,
+    )
 
     sa = simhashed.select(F.col("url").alias("url_a"), F.col("simhash").alias("sh_a"))
     sb = simhashed.select(F.col("url").alias("url_b"), F.col("simhash").alias("sh_b"))
@@ -156,3 +159,20 @@ def simhash_candidates(
         .select("url_a", "url_b", "hamming")
     )
     return verified, hot
+
+
+def simhash_channel(
+    clean: DataFrame, cfg: DedupConfig, cache_registry: list | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """The full channel over a normalized corpus: short-doc guard →
+    fingerprints → pigeonhole buckets → exact Hamming verify.
+
+    The guard (cfg.simhash_min_len) exists because this channel's pairs
+    BYPASS the Jaccard gate: for docs a few tokens long the frequency-
+    weighted fingerprint is dominated by shared vocabulary, so unrelated
+    short docs can land inside the Hamming ball and would merge on
+    Hamming evidence alone. Short docs still reach exact + LSH dedup.
+    """
+    eligible = clean.filter(F.length("norm_text") >= cfg.simhash_min_len)
+    sim = with_simhash(eligible, cfg).select("url", "simhash")
+    return simhash_candidates(sim, cfg, cache_registry=cache_registry)

@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from dedup.candidates import pairs_from_buckets
 from dedup.config import DedupConfig
-from dedup.hashing import splitmix64
+from dedup.hashing import rolling_poly_hashes
 
 
 def winnow_fingerprints(
@@ -49,17 +49,14 @@ def winnow_fingerprints(
         return np.array([], dtype=np.uint64)
     b = np.frombuffer(text.encode("utf-8", "ignore")[: n * 4], dtype=np.uint8)
     # byte-level k-grams over the utf-8 stream; for ascii-normalized text
-    # byte == char so the window semantics match the char definition
-    m = len(b) - k + 1
+    # byte == char so the window semantics match the char definition.
+    # Same Horner rolling-hash kernel as the MinHash shingles
+    # (dedup/hashing.rolling_poly_hashes) — bit-identical construction,
+    # O(m) memory instead of the old (m × k) strided matrix.
+    hashes = rolling_poly_hashes(b, k)
+    m = len(hashes)
     if m <= 0:
         return np.array([], dtype=np.uint64)
-    # polynomial rolling hash base 257 mod 2^64, then splitmix finalize
-    base = np.uint64(257)
-    powers = base ** np.arange(k, dtype=np.uint64)  # wraps mod 2^64
-    # build k-gram hashes via strided sum (vectorized)
-    strides = np.lib.stride_tricks.sliding_window_view(b, k).astype(np.uint64)
-    raw = (strides * powers[None, :]).sum(axis=1, dtype=np.uint64)
-    hashes = splitmix64(raw)
     if m <= window:
         return np.unique(hashes.min(keepdims=True))
     win = np.lib.stride_tricks.sliding_window_view(hashes, window)
@@ -89,7 +86,8 @@ def fingerprint_table(
 
 
 def substring_candidates(
-    pages_with_norm: DataFrame, cfg: DedupConfig
+    pages_with_norm: DataFrame, cfg: DedupConfig,
+    cache_registry: list | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Candidate pairs sharing >= substring_min_shared fingerprints.
 
@@ -116,6 +114,7 @@ def substring_candidates(
         min_collisions=cfg.substring_min_shared,
         keep_collisions=True,
         max_bucket=cfg.substring_max_bucket,
+        cache_registry=cache_registry,
     )
     return pairs.withColumnRenamed("n_collisions", "shared_fps"), hot
 
@@ -151,10 +150,13 @@ def verify_containment(
 
 
 def substring_edges(
-    pages_with_norm: DataFrame, cfg: DedupConfig
+    pages_with_norm: DataFrame, cfg: DedupConfig,
+    cache_registry: list | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """The full substring channel: winnow → block → verify → edges."""
-    cand, hot = substring_candidates(pages_with_norm, cfg)
+    cand, hot = substring_candidates(
+        pages_with_norm, cfg, cache_registry=cache_registry
+    )
     verified = verify_containment(cand, pages_with_norm)
     edges = verified.select(
         "url_a", "url_b", F.lit(1.0).alias("jaccard"),
@@ -238,7 +240,10 @@ def lcp_pairs_distributed(
     min_lcp: int | None = None,
     return_hot: bool = False,
     collapse_exact: bool = True,
-) -> DataFrame:
+    return_stats: bool = False,
+) -> DataFrame | tuple[DataFrame, DataFrame] | tuple[
+    DataFrame, DataFrame, DataFrame
+]:
     """Distributed suffix-array pass (SURVEY.md §7 stage 9): cross-doc
     pairs sharing a verbatim passage of ≥ min_lcp chars — shared LONG
     PASSAGES, not full containment (the substring channel's case).
@@ -269,6 +274,20 @@ def lcp_pairs_distributed(
     as a second DataFrame (fp, block_size) so the skipped mass is
     reported, never silent. Pass collapse_exact=False only for
     uncapped whole-relation parity checks.
+
+    Per-DOC fan-out bound (cfg.lcp_max_blocks_per_doc): block caps
+    bound per-BLOCK work but not per-doc text replication — the
+    with_text join ships each doc's norm_text once per eligible block,
+    so a quote-heavy doc in hundreds of blocks replicates its text
+    hundreds of times through the shuffle (the channel's scale-killer
+    at 100 TB). Each doc therefore joins at most that many blocks,
+    preferring the RAREST blocks (smallest block size, then fp —
+    deterministic): a rare shared passage is both the cheapest and the
+    most discriminating evidence, and any pair sharing ≥ the cap's
+    worth of passages is still found through the kept blocks.
+    `return_stats=True` returns (pairs, hot, skipped) where skipped =
+    (url, n_skipped_blocks) reports the dropped per-doc mass; None
+    disables the bound (oracle/parity runs).
     """
     from pyspark.sql import types as T
 
@@ -291,11 +310,32 @@ def lcp_pairs_distributed(
     sizes = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("n"))
     eligible = sizes.filter(
         (F.col("n") >= 2) & (F.col("n") <= cfg.substring_max_bucket)
-    ).select("fp")
+    ).select("fp", "n")
     hot = sizes.filter(F.col("n") > cfg.substring_max_bucket).select(
         "fp", F.col("n").alias("block_size")
     )
     blocks = fps.join(eligible, "fp")
+    cap_blocks = cfg.lcp_max_blocks_per_doc
+    if cap_blocks is not None:
+        # per-doc bound: rank a doc's eligible blocks rarest-first and
+        # keep the top cap_blocks. The window partitions by url — per-key
+        # row count is the doc's fingerprint count (≤ text_len/window),
+        # not a skew axis the way fp is.
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("url").orderBy(F.col("n").asc(), F.col("fp").asc())
+        ranked = blocks.withColumn("_rk", F.row_number().over(w))
+        blocks = ranked.filter(F.col("_rk") <= cap_blocks).drop("_rk", "n")
+        skipped = (
+            ranked.filter(F.col("_rk") > cap_blocks)
+            .groupBy("url")
+            .agg(F.count(F.lit(1)).alias("n_skipped_blocks"))
+        )
+    else:
+        blocks = blocks.drop("n")
+        skipped = blocks.select("url").limit(0).withColumn(
+            "n_skipped_blocks", F.lit(0).cast("long")
+        )
     with_text = blocks.join(
         rep_pages.select("url", "norm_text"), "url"
     )
@@ -317,6 +357,8 @@ def lcp_pairs_distributed(
         .applyInPandas(block_fn, schema)
         .distinct()
     )
+    if return_stats:
+        return pairs_out, hot, skipped
     if return_hot:
         return pairs_out, hot
     return pairs_out

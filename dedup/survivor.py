@@ -134,22 +134,40 @@ def reprint_notes(
             ).alias("note"),
         )
         .groupBy("cluster_id")
-        # dedup under the reference's \W-stripped normalizer
-        # (post-merge-modifiers.js:184-190)
         .agg(F.sort_array(F.collect_set("note")).alias("raw_notes"))
-        .select(
-            "cluster_id",
-            F.array_distinct(
-                F.transform(
-                    "raw_notes", lambda n: F.regexp_replace(n, r"\W", "")
-                )
-            ).alias("note_keys"),
-            "raw_notes",
-        )
+        # dedup under the reference's \W-stripped normalizer
+        # (post-merge-modifiers.js:183-193): a note is dropped iff an
+        # earlier note has the same normalized form — first occurrence
+        # (in the deterministic sorted order) wins, like the reference
+        # keeps the already-included field and skips the new one.
+        .select("cluster_id", _dedup_by_normalized().alias("kept_notes"))
     )
     return survivors.join(notes, "cluster_id", "left").withColumn(
-        "notes", F.coalesce("raw_notes", F.array().cast("array<string>"))
-    ).drop("raw_notes", "note_keys")
+        "notes", F.coalesce("kept_notes", F.array().cast("array<string>"))
+    ).drop("kept_notes")
+
+
+def _dedup_by_normalized():
+    """Fold raw_notes keeping the first note per \\W-stripped key."""
+    empty = F.array().cast("array<string>")
+
+    def step(acc, n):
+        key = F.regexp_replace(n, r"\W", "")
+        return F.when(
+            F.array_contains(acc["keys"], key), acc
+        ).otherwise(
+            F.struct(
+                F.concat(acc["keys"], F.array(key)).alias("keys"),
+                F.concat(acc["kept"], F.array(n)).alias("kept"),
+            )
+        )
+
+    return F.aggregate(
+        F.col("raw_notes"),
+        F.struct(empty.alias("keys"), empty.alias("kept")),
+        step,
+        lambda acc: acc["kept"],
+    )
 
 
 def format_date_iso(col) -> "F.Column":

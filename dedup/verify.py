@@ -183,6 +183,24 @@ def pair_reasons(
                 F.array().cast("array<string>")
             )
         )
+        # toAuthorityQueryObject multiplicity guard (record-utils.js:
+        # 60-63): a record with more than one name-field value cannot
+        # form an authority query — the reference throws
+        # 'Record has multiple names: ' + names.join() (',' separator).
+        # Reproduced as a per-record reason on each configured
+        # name-count field, preferred side first.
+        for tag, (a_col, b_col) in count_columns.items():
+            for col in (a_col, b_col):
+                c = F.coalesce(F.col(col), F.array().cast("array<string>"))
+                parts.append(
+                    _reason_when(
+                        F.size(c) > 1,
+                        F.concat(
+                            F.lit("Record has multiple names: "),
+                            F.concat_ws(",", c),
+                        ),
+                    )
+                )
 
     # same300TypeAndCount (mergeability-validators.js:152-178) on the
     # physical-extent analogue column, pre-inferred per url.

@@ -128,3 +128,17 @@ def test_end_to_end_resume_identical_output(spark, tmp_path):
     second_assign = store.write_stage("assignments", assign2)
     b = {(r["url"], r["cluster_id"]) for r in second_assign.collect()}
     assert a == b
+
+
+def test_format_mismatch_on_resume_fails_loudly(spark, tmp_path):
+    # a manifest written by a parquet run must refuse to serve a resume
+    # configured for iceberg (and vice versa) — reading a nonexistent
+    # Iceberg table or a stale parquet dir would be silent corruption
+    store = CheckpointStore(str(tmp_path), run_id="t6")
+    store.write_stage("clean", spark.range(5))
+    resumed = CheckpointStore(
+        str(tmp_path), run_id="t6", table_format="iceberg",
+        table_prefix="lake.dedup",
+    )
+    with pytest.raises(RuntimeError, match="checkpointed as 'parquet'"):
+        resumed.write_stage("clean", spark.range(5))

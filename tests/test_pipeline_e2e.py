@@ -24,9 +24,8 @@ from pyspark.sql import functions as F
 
 from dedup.config import DedupConfig
 from dedup.corpus import corpus_dataframes
-from dedup.normalize import quarantine_filter, with_normalized
-from dedup.pipeline import run_dedup
-from dedup.simhash import simhash_candidates, with_simhash
+from dedup.pipeline import prepare_clean, run_dedup
+from dedup.simhash import simhash_channel
 from dedup.suffix import substring_edges
 
 
@@ -36,9 +35,10 @@ def result(spark):
     # hot-bucket star fallback at this corpus size
     cfg = DedupConfig(max_bucket_size=8)
     pages, truth, sources = corpus_dataframes(spark, n_docs=800, seed=42)
-    clean = quarantine_filter(with_normalized(pages))
-    sim = with_simhash(clean, cfg).select("url", "simhash")
-    sim_pairs, _ = simhash_candidates(sim, cfg)
+    # production wiring (cli.py): one persisted narrow clean shared by
+    # the channels and the pipeline
+    clean = prepare_clean(pages).persist()
+    sim_pairs, _ = simhash_channel(clean, cfg)
     sub_edges, _ = substring_edges(clean, cfg)
     res = run_dedup(
         pages, cfg, sources=sources,
@@ -46,6 +46,7 @@ def result(spark):
             sim_pairs.select("url_a", "url_b"),
             sub_edges.select("url_a", "url_b"),
         ],
+        clean=clean,
     )
     assign = res.assignments.cache()
     truth = truth.cache()
@@ -250,8 +251,17 @@ def test_release_unpersists_all_pinned_caches(spark):
     res = run_dedup(pages, DedupConfig(), sources=sources,
                     persist_pairs=True)
     res.survivors.count()  # materialize the caches
-    assert len(res.cached) >= 6  # clean/groups/sigs/feats/pairs/rep_sh/hot
-    assert any(df.storageLevel.useMemory for df in res.cached)
+    assert len(res.cached) >= 6  # clean/groups/sigs/hot/feats/pairs/rep_sh
+    # every registered frame must BE the persisted object (unpersisting a
+    # derived projection would not release its parent's cache) — a
+    # vacuous registration would show storageLevel NONE here
+    assert all(
+        df.storageLevel.useMemory or df.storageLevel.useDisk
+        for df in res.cached
+    )
     res.release()
-    assert all(not df.storageLevel.useMemory for df in res.cached)
+    assert all(
+        not (df.storageLevel.useMemory or df.storageLevel.useDisk)
+        for df in res.cached
+    )
     res.release()  # idempotent

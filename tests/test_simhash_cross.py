@@ -38,3 +38,28 @@ def test_fingerprint_matches_bit_votes(spark):
             packed[r["url"]] |= 1 << r["bit"]
     for u, fp in fps.items():
         assert fp & ((1 << 64) - 1) == packed[u] & ((1 << 64) - 1), u
+
+
+def test_short_doc_guard_blocks_vocabulary_collisions(spark):
+    # two UNRELATED short docs over shared vocabulary: the weighted
+    # fingerprint is vocabulary-dominated, so without the guard they can
+    # land inside the Hamming ball and would merge on Hamming evidence
+    # alone (the channel bypasses the Jaccard gate). simhash_min_len
+    # keeps them out of the channel entirely.
+    from dedup.config import DedupConfig
+    from dedup.simhash import simhash_channel
+
+    clean = spark.createDataFrame(
+        [
+            ("u1", "the fast key order"),
+            ("u2", "order the fast key"),
+        ],
+        "url string, norm_text string",
+    )
+    guarded, _ = simhash_channel(clean, DedupConfig())
+    assert guarded.count() == 0
+    # control: with the guard off the same docs DO pair (identical token
+    # multiset → Hamming 0), which is exactly the degenerate merge the
+    # guard exists to stop
+    unguarded, _ = simhash_channel(clean, DedupConfig(simhash_min_len=0))
+    assert unguarded.count() == 1

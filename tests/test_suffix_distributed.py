@@ -100,3 +100,51 @@ def test_exact_family_does_not_nuke_shared_passage_recall(spark):
     assert ("http://a/1", "http://b/2") in got
     # the family collapsed to one rep, so its blocks are NOT hot
     assert hot.count() == 0
+
+
+def test_per_doc_block_cap_bounds_quote_heavy_fanout(spark):
+    """A quote-heavy doc sharing 150 DISTINCT passages would ship its
+    norm_text into every one of its eligible fingerprint blocks — the
+    channel's per-doc scale-killer. With lcp_max_blocks_per_doc the doc
+    joins only the rarest cap blocks; the skipped mass is reported, the
+    capped pair set is a subset of the uncapped one, and docs under the
+    cap are unaffected."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    letters = np.array(list("abcdefghijklmnopqrstuvwxyz "))
+
+    def rand_text(n):
+        return "".join(rng.choice(letters, n))
+
+    passages = [rand_text(100) for _ in range(150)]
+    quote_heavy = ("https://q.example/hub", " ".join(passages))
+    partners = [
+        (f"https://p.example/{i}", f"{rand_text(70)} {p} {rand_text(70)}")
+        for i, p in enumerate(passages)
+    ]
+    df = spark.createDataFrame([quote_heavy] + partners, ["url", "norm_text"])
+
+    uncapped_cfg = DedupConfig(lcp_max_blocks_per_doc=None)
+    uncapped = {
+        (r["url_a"], r["url_b"])
+        for r in lcp_pairs_distributed(df, uncapped_cfg, min_lcp=64).collect()
+    }
+    # every partner shares its passage with the hub
+    assert len(uncapped) == 150
+
+    cap = 32
+    capped_cfg = DedupConfig(lcp_max_blocks_per_doc=cap)
+    pairs, hot, skipped = lcp_pairs_distributed(
+        df, capped_cfg, min_lcp=64, return_stats=True
+    )
+    got = {(r["url_a"], r["url_b"]) for r in pairs.collect()}
+    assert got <= uncapped
+    # the hub's replication is bounded by the cap...
+    assert 0 < len(got) <= cap
+    # ...and the dropped mass is REPORTED, never silent
+    sk = {r["url"]: r["n_skipped_blocks"] for r in skipped.collect()}
+    assert sk.get("https://q.example/hub", 0) > 100
+    # partners sit far under the cap: none skipped
+    assert set(sk) == {"https://q.example/hub"}
+    assert hot.count() == 0

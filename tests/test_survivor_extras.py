@@ -108,5 +108,63 @@ def test_field_count_mismatch_gate(spark):
         cfg,
         count_columns={"100": ("a_headings", "b_headings")},
     ).collect()[0]
-    assert out["reasons"] == ["Field count mismatch for field 100"]
+    # count mismatch fires first (identicalCount, mergeability-
+    # validators.js:115-131); the per-record multiplicity guard
+    # (toAuthorityQueryObject, record-utils.js:60-63) follows with the
+    # reference's exact message — names joined with ','.
+    assert out["reasons"] == [
+        "Field count mismatch for field 100",
+        "Record has multiple names: h1,h2",
+    ]
     assert out["can_merge"] is False
+
+
+def test_multiple_names_guard_blocks_equal_counts(spark):
+    # equal counts pass the count gate, but BOTH records having two
+    # name values still cannot form authority queries — the reference
+    # throws per record; here each side contributes its own reason
+    cfg = DedupConfig()
+    pairs = spark.createDataFrame([("a", "b")], "url_a string, url_b string")
+    feats = spark.createDataFrame(
+        [
+            ("a", "fi", False, datetime.datetime(2024, 1, 1), 10, [], ["x", "y"]),
+            ("b", "fi", False, datetime.datetime(2024, 1, 2), 10, [], ["h1", "h2"]),
+        ],
+        "url string, lang string, has_diacritics boolean, warc_ts timestamp,"
+        " text_len int, sources array<string>, headings array<string>",
+    )
+    out = pair_reasons(
+        attach_features(pairs, feats),
+        cfg,
+        count_columns={"100": ("a_headings", "b_headings")},
+    ).collect()[0]
+    assert out["reasons"] == [
+        "Record has multiple names: x,y",
+        "Record has multiple names: h1,h2",
+    ]
+    assert out["can_merge"] is False
+
+
+def test_reprint_notes_dedup_under_normalized_key(spark):
+    # two notes differing ONLY in punctuation must collapse to one —
+    # the reference skips a note whose \W-stripped form is already
+    # included (post-merge-modifiers.js:183-193); first (sorted) wins
+    from dedup.survivor import reprint_notes
+
+    ts1 = datetime.datetime(2024, 5, 1)
+    members = spark.createDataFrame(
+        [
+            ("c1", "https://s.example/p/1", "fi", ts1),
+            ("c1", "https://s.example/p/2", "en-US", ts1),
+            ("c1", "https://s.example/p/3", "en.US", ts1),
+        ],
+        "cluster_id string, url string, lang string, warc_ts timestamp",
+    )
+    survivors = spark.createDataFrame(
+        [("c1", "https://s.example/p/1", "fi")],
+        "cluster_id string, survivor_url string, lang string",
+    )
+    out = reprint_notes(members, survivors).collect()[0]
+    # raw notes sorted: 'Lisäpainokset: en-US 2024.' < '...: en.US 2024.'
+    # ('-' 0x2D < '.' 0x2E); both strip to the same \W-less key
+    assert out["notes"] == ["Lisäpainokset: en-US 2024."]
