@@ -204,7 +204,7 @@ def run_dedup(
     # re-raises there. Same-content caches make this race-free.
     warm_errs: list[BaseException] = []
     warm_thread = None
-    if persist:
+    if persist and cfg.warm_caches_async:
         import threading
 
         def _warm(clean=clean, keyed=keyed, sigs=sigs) -> None:

@@ -55,10 +55,19 @@ def simhash_batch(
     concat_hashes: all docs' token hashes concatenated (uint64, with
     multiplicity); offsets: start index per doc (offsets[0] == 0)."""
     shifts = np.arange(bits, dtype=np.uint64)
-    bitmat = (
-        (concat_hashes[:, None] >> shifts[None, :]) & np.uint64(1)
-    ).astype(np.int32)  # (n_hashes, bits)
-    ones = np.add.reduceat(bitmat, offsets, axis=0)  # (n_docs, bits)
+    # bit matrix via unpackbits on the raw little-endian bytes: column j
+    # is bit j of the hash (byte 0 = LSB, bitorder='little' puts bit 0
+    # first), identical to ((h >> j) & 1) — but the matrix is uint8, 4x
+    # less memory traffic than the shift-and-mask int32 form (this
+    # kernel is bandwidth-bound like the MinHash one); the segmented
+    # sum upcasts in-register via reduceat's dtype, so no wide
+    # intermediate ever materializes
+    bitmat = np.unpackbits(
+        np.ascontiguousarray(concat_hashes.astype("<u8")).view(np.uint8)
+        .reshape(-1, 8),
+        axis=1, bitorder="little",
+    )[:, :bits]  # (n_hashes, bits) uint8
+    ones = np.add.reduceat(bitmat, offsets, axis=0, dtype=np.int64)
     lens = np.diff(np.append(offsets, len(concat_hashes)))
     margins = 2 * ones - lens[:, None]
     fp_bits = (margins > 0).astype(np.uint64)

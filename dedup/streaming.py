@@ -47,6 +47,92 @@ def incremental_exact_dedup(
     )
 
 
+def streaming_near_dup_pairs(
+    pages_stream: DataFrame,
+    cfg: DedupConfig,
+    state_cap: int | None = None,
+) -> DataFrame:
+    """Cross-batch NEAR-dup candidate stream — the custom stateful
+    operator the foreachBatch handoff can't express (each batch only
+    sees itself; exact re-crawls are caught by the watermark dedup, but
+    a near-duplicate of a page seen three micro-batches ago needs the
+    bucket history).
+
+    Shape: per incoming page, MinHash signature + LSH band keys are
+    computed with the SAME batch kernels/expressions as the batch
+    pipeline (identical shingle/signature config — the north_rule
+    invariant), then `applyInPandasWithState` keeps, PER BAND BUCKET,
+    the signatures seen so far. A new arrival is compared against its
+    bucket's state by signature agreement (the batch estimate
+    pre-filter's statistic); matches emit (url_a, url_b, est_jaccard)
+    candidate rows for the batch verify tail.
+
+    State is bounded exactly like the batch hot-bucket cap: each bucket
+    retains at most `state_cap` (default cfg.max_bucket_size)
+    most-recent signatures — a boilerplate bucket degrades gracefully
+    instead of growing without bound. Emitted pairs may repeat across
+    bands (like batch LSH before its distinct); downstream dedups.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import (
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    from dedup.minhash import explode_bands, signatures
+
+    cap = state_cap if state_cap is not None else cfg.max_bucket_size
+    floor = cfg.estimate_floor
+
+    norm = with_normalized(pages_stream)
+    clean = quarantine_filter(norm)
+    sig = signatures(clean, cfg).select("url", "sig")
+    bands = explode_bands(sig, cfg).join(sig, "url")
+
+    out_schema = "url_a string, url_b string, est_jaccard double"
+    state_schema = "urls array<string>, sigs array<array<long>>"
+
+    def bucket_fn(key, pdf_iter, state: GroupState):
+        urls: list[str]
+        sigs: list[list[int]]
+        if state.exists:
+            urls, sigs = state.get
+            urls, sigs = list(urls), [list(s) for s in sigs]
+        else:
+            urls, sigs = [], []
+        seen_np = [np.asarray(s, dtype=np.int64) for s in sigs]
+        rows: list[tuple[str, str, float]] = []
+        for pdf in pdf_iter:
+            for url, s in zip(pdf["url"], pdf["sig"]):
+                s_np = np.asarray(s, dtype=np.int64)
+                for u2, s2 in zip(urls, seen_np):
+                    if u2 == url:
+                        continue
+                    est = float((s_np == s2).mean())
+                    if est >= floor:
+                        a, b = (url, u2) if url < u2 else (u2, url)
+                        rows.append((a, b, est))
+                urls.append(str(url))
+                seen_np.append(s_np)
+        # bucket cap: most-recent survivors, like the batch hot cap
+        urls = urls[-cap:]
+        seen_np = seen_np[-cap:]
+        state.update((urls, [[int(v) for v in s] for s in seen_np]))
+        yield pd.DataFrame(rows, columns=["url_a", "url_b", "est_jaccard"])
+
+    return (
+        bands.groupBy("band_idx", "band_key")
+        .applyInPandasWithState(
+            bucket_fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def run_incremental(
     pages_stream: DataFrame,
     cfg: DedupConfig,

@@ -76,3 +76,18 @@ def test_uid_128_identical_assignments_and_survivors(spark):
     assert s64 == s128
     res64.release()
     res128.release()
+
+
+def test_warm_thread_off_identical_results(spark):
+    # warm_caches_async=False (cluster-debugging mode: every job on the
+    # foreground call stack) must not change any output
+    pages, truth, sources = corpus_dataframes(spark, n_docs=200, seed=5)
+    on = run_dedup(pages, DedupConfig(), sources=sources)
+    off = run_dedup(
+        pages, DedupConfig(warm_caches_async=False), sources=sources
+    )
+    a_on = {(r["url"], r["cluster_id"]) for r in on.assignments.collect()}
+    a_off = {(r["url"], r["cluster_id"]) for r in off.assignments.collect()}
+    assert a_on == a_off
+    on.release()
+    off.release()

@@ -72,3 +72,62 @@ def test_streaming_resume_is_exactly_once(spark, tmp_path):
     q2.awaitTermination(120)
     assert seen == first
     assert len(first) == len(set(first))
+
+
+def test_streaming_near_dup_pairs_cross_batch(spark, tmp_path):
+    """The applyInPandasWithState bucket-history operator must catch a
+    NEAR-dup arriving in a LATER micro-batch than its base — the case
+    the per-batch foreachBatch handoff structurally cannot see."""
+    import datetime
+
+    import numpy as np
+
+    from dedup.streaming import streaming_near_dup_pairs
+
+    cfg = DedupConfig()
+    rng = np.random.default_rng(13)
+    vocab = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+             "golf", "hotel", "india", "juliet", "kilo", "lima"]
+
+    def words(n):
+        return " ".join(vocab[i] for i in rng.integers(0, len(vocab), n))
+
+    base = words(200)
+    near = ("alpha " + base[len("alpha "):])  # tiny prefix edit
+    other = words(200)
+    ts = datetime.datetime(2024, 1, 1)
+
+    def row(url, text):
+        return (url, ts, b"<html>", text, "en", [], [], [], ["h"], None)
+
+    from dedup.schema import PAGES_SCHEMA
+
+    src = str(tmp_path / "near_src")
+    # batch 1: base + an unrelated doc; batch 2: the near-dup
+    spark.createDataFrame(
+        [row("https://a/base", base), row("https://a/other", other)],
+        PAGES_SCHEMA,
+    ).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(
+        [row("https://a/near", near)], PAGES_SCHEMA
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = read_pages_stream(spark, src, max_files_per_trigger=1)
+    pairs = streaming_near_dup_pairs(stream, cfg)
+    q = (
+        pairs.writeStream.format("memory").queryName("near_pairs")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "near_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert len(q.recentProgress) >= 2  # the near-dup arrived in a LATER batch
+
+    got = spark.sql(
+        "SELECT DISTINCT url_a, url_b FROM near_pairs"
+    ).collect()
+    pairs_set = {(r["url_a"], r["url_b"]) for r in got}
+    assert ("https://a/base", "https://a/near") in pairs_set
+    # unrelated doc never pairs
+    assert all("other" not in a and "other" not in b for a, b in pairs_set)
