@@ -143,10 +143,10 @@ class DedupConfig:
     warm_caches_async: bool = True
     # surrogate-key width: 64 → xxhash64 long (8 bytes through every
     # band/candidate/CC shuffle — the production default at ≤10¹⁰ docs);
-    # 128 → md5 hex string (16-byte digest, 32-byte column) for the
-    # 10^12-doc design point where 64-bit birthday collisions become
-    # expected. Every operator treats uid as an opaque orderable key,
-    # so the two paths produce identical cluster assignments.
+    # 128 → unhex(md5), a 16-byte binary digest, for the 10^12-doc
+    # design point where 64-bit birthday collisions become expected.
+    # Every operator treats uid as an opaque orderable key, so the two
+    # paths produce identical cluster assignments.
     uid_bits: int = 64
 
     def __post_init__(self) -> None:

@@ -144,14 +144,18 @@ def run_dedup(
     # instead of a ~50-byte url string (the pipeline is memory-
     # bandwidth-bound at high core counts). uid_bits=64 → xxhash64 long
     # (8 bytes; production default, expected colliding pairs ≈ n²/2⁶⁵ —
-    # ~27k at the 10^12-doc design point); uid_bits=128 → md5 hex (the
-    # 10^12-doc path, collision probability ≈ n²/2¹²⁹ ≈ 1e-15). Both are
-    # deterministic and opaque-orderable, so downstream operators
-    # (least/greatest, CC min-aggregation, joins) are width-agnostic and
-    # the two paths yield identical cluster assignments; the invariant
-    # below turns any residual collision from silent corruption into a
-    # loud failure.
-    uid_expr = F.xxhash64("url") if cfg.uid_bits == 64 else F.md5("url")
+    # ~27k at the 10^12-doc design point); uid_bits=128 → unhex(md5),
+    # a 16-BYTE BINARY digest (the 10^12-doc path, collision
+    # probability ≈ n²/2¹²⁹ ≈ 1e-15 — and half the bytes of the hex
+    # string form). Both are deterministic and opaque-orderable
+    # (binary compares unsigned-lexicographically), so downstream
+    # operators (least/greatest, CC min-aggregation, joins) are
+    # width-agnostic and the two paths yield identical cluster
+    # assignments; the invariant below turns any residual collision
+    # from silent corruption into a loud failure.
+    uid_expr = (
+        F.xxhash64("url") if cfg.uid_bits == 64 else F.unhex(F.md5("url"))
+    )
     keyed = clean.withColumn("uid", uid_expr)
     kpages = keyed.select(
         F.col("uid").alias("url"),

@@ -184,4 +184,12 @@ def simhash_channel(
     """
     eligible = clean.filter(F.length("norm_text") >= cfg.simhash_min_len)
     sim = with_simhash(eligible, cfg).select("url", "simhash")
+    # (url, simhash) is 16 bytes/row and has FIVE consumers downstream
+    # (bucket stats + sub-cap + star expansions, then both sides of the
+    # Hamming verify join) — unpersisted, each one re-runs the
+    # fingerprint UDF over the whole corpus (measured: q3 30 s → ~10 s
+    # at 30k docs with the persist)
+    sim = sim.persist()
+    if cache_registry is not None:
+        cache_registry.append(sim)
     return simhash_candidates(sim, cfg, cache_registry=cache_registry)

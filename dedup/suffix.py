@@ -105,6 +105,12 @@ def substring_candidates(
     )
     rep_pages = pages_with_norm.join(reps, "url")
     fps = fingerprint_table(rep_pages, cfg)
+    # (url, fp) is 16 bytes/row with THREE consumers inside the bucket
+    # expansion (stats, sub-cap, star) — unpersisted, each re-runs the
+    # winnowing UDF over the whole corpus
+    fps = fps.persist()
+    if cache_registry is not None:
+        cache_registry.append(fps)
     # min_collisions carries the shared-fingerprint threshold: pair
     # multiplicity (number of fingerprint buckets a pair co-occurs in)
     # IS the shared-fingerprint count, computed inside the bucket
@@ -307,6 +313,12 @@ def lcp_pairs_distributed(
     else:
         rep_pages = pages_with_norm
     fps = fingerprint_table(rep_pages, cfg).distinct()
+    # two consumers (block sizes + block membership) — without a
+    # persist both re-run the winnowing UDF; the 16-byte rows are cheap
+    # to hold. NOTE: returned lazily through pairs_out/hot/skipped —
+    # released when the caller's session drops it (no registry here;
+    # the cli path records counts immediately).
+    fps = fps.persist()
     sizes = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("n"))
     eligible = sizes.filter(
         (F.col("n") >= 2) & (F.col("n") <= cfg.substring_max_bucket)

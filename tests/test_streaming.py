@@ -131,3 +131,79 @@ def test_streaming_near_dup_pairs_cross_batch(spark, tmp_path):
     assert ("https://a/base", "https://a/near") in pairs_set
     # unrelated doc never pairs
     assert all("other" not in a and "other" not in b for a, b in pairs_set)
+
+
+def test_streaming_near_dup_equals_batch_bucket_pairs(spark, tmp_path):
+    """Equivalence property: with no caps engaged and no exact dups, the
+    streaming bucket-history operator over ANY arrival order must emit
+    exactly the batch relation {bucket-coocurring pairs with signature
+    agreement >= estimate_floor} — each pair surfacing when its later
+    member arrives."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from dedup.minhash import explode_bands, signatures
+    from dedup.normalize import quarantine_filter, with_normalized
+    from dedup.streaming import streaming_near_dup_pairs
+
+    cfg = DedupConfig()
+    pages, _t, _s = corpus_dataframes(spark, n_docs=120, seed=21)
+    # exact dups would hit the batch pipeline's rep-collapse (not part
+    # of this operator); drop them so both sides see identical inputs
+    pages = pages.withColumn("th", F.xxhash64("text"))
+    w_first = pages.groupBy("th").agg(F.min("url").alias("url"))
+    pages = pages.join(w_first, ["th", "url"]).drop("th")
+
+    # --- batch side: band-coocurrence pairs with agreement >= floor ---
+    clean = quarantine_filter(with_normalized(pages))
+    sig = signatures(clean, cfg).select("url", "sig")
+    bands = explode_bands(sig, cfg)
+    co = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band_idx") == F.col("y.band_idx"))
+            & (F.col("x.band_key") == F.col("y.band_key"))
+            & (F.col("x.url") < F.col("y.url")),
+        )
+        .select(
+            F.col("x.url").alias("url_a"), F.col("y.url").alias("url_b")
+        )
+        .distinct()
+    )
+    sa = sig.select(F.col("url").alias("url_a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col("url").alias("url_b"), F.col("sig").alias("sig_b"))
+    agree = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda e: e)
+    )
+    est = agree.cast("double") / F.size("sig_a").cast("double")
+    batch_pairs = {
+        (r["url_a"], r["url_b"])
+        for r in co.join(sa, "url_a").join(sb, "url_b")
+        .filter(est >= F.lit(cfg.estimate_floor))
+        .select("url_a", "url_b").collect()
+    }
+
+    # --- streaming side: 3 arbitrary micro-batches ---
+    src = str(tmp_path / "eq_src")
+    parts = pages.randomSplit([1.0, 1.0, 1.0], seed=5)
+    for p in parts:
+        p.coalesce(1).write.mode("append").parquet(src)
+    stream = read_pages_stream(spark, src, max_files_per_trigger=1)
+    q = (
+        streaming_near_dup_pairs(stream, cfg, state_cap=10_000)
+        .writeStream.format("memory").queryName("eq_pairs")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "eq_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    stream_pairs = {
+        (r["url_a"], r["url_b"])
+        for r in spark.sql(
+            "SELECT DISTINCT url_a, url_b FROM eq_pairs"
+        ).collect()
+    }
+    assert len(batch_pairs) > 0
+    assert stream_pairs == batch_pairs
