@@ -157,3 +157,39 @@ def test_authority_source_member_survives(spark, cli_run, plan):
     # freshest would win; authority priority must flip it
     assert srow["survivor_url"] == y_url
     assert srow["n_members"] >= 2
+
+
+def test_cli_lcp_channel_runs_and_reports_stats(spark, tmp_path_factory):
+    """--channels lcp must run end-to-end and surface the channel's
+    skew/fan-out lineage (hot blocks + per-doc skipped counts) in
+    metrics — the reported-never-silent contract."""
+    import dedup.session as session
+    from dedup import cli
+
+    tmp_path = tmp_path_factory.mktemp("cli_lcp")
+    out_dir = str(tmp_path / "out")
+    orig_get_spark = session.get_spark
+    session.get_spark = lambda *a, **k: spark
+    orig_stop = spark.stop
+    spark.stop = lambda: None
+    try:
+        rc = cli.main([
+            "--synthetic", "400", "--seed", "42",
+            "--output", out_dir,
+            "--channels", "lsh,exact,lcp",
+        ])
+    finally:
+        session.get_spark = orig_get_spark
+        spark.stop = orig_stop
+    assert rc == 0
+    metrics = {
+        m["stage"]: m
+        for m in (
+            json.loads(line)
+            for line in open(f"{out_dir}/metrics.jsonl")
+            if line.strip()
+        )
+    }
+    assert "lcp_hot_blocks" in metrics
+    assert "lcp_skipped_doc_blocks" in metrics
+    assert metrics["survivors"]["rows_out"] > 0
