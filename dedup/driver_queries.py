@@ -406,6 +406,38 @@ def q_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _survivors(spark, sf_dir)
 
 
+# preferredRecordInFENNI analogue active (mergeability-validators.js:
+# 69-81): deterministic authority list over the documents table's
+# source column — clusters whose non-freshest member carries one of
+# these flip their survivor, which the oracle reproduces independently.
+AUTHORITY_SOURCES = ("src1", "src3", "src5", "src7", "src9")
+
+
+def q_authority_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor selection WITH the authority-source priority wired (the
+    production run_dedup path when cfg.authority_sources is set):
+    is_authority DESC precedes freshness in the preference window."""
+    clean = _clean(spark, sf_dir)
+    assign = _clusters(spark, sf_dir)
+    members = assign.join(
+        clean.select(
+            "url",
+            "warc_ts",
+            F.length("text").alias("text_len"),
+            "lang",
+            F.array("source").alias("sources"),
+        ),
+        "url",
+    )
+    surv = select_survivors(members, CFG, authority_sources=AUTHORITY_SOURCES)
+    return surv.select(
+        "cluster_id",
+        "survivor_url",
+        F.col("n_members").cast("long").alias("n_members"),
+        F.concat_ws(",", "merged_from").alias("merged_from_str"),
+    )
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = load_pages(spark, sf_dir)
     return pages.select("url", lang_id(F.col("text")).alias("lang_pred"))
@@ -676,6 +708,7 @@ QUERIES = {
     "embedding_dup_pairs": q_embedding_dups,
     "lcp_shared_passages": q_lcp_pairs,
     "estimate_agreement": q_estimate_agreement,
+    "authority_survivors": q_authority_survivors,
 }
 
 
@@ -785,6 +818,31 @@ rollup AS (
 )
 SELECT r.cluster_id, rk.url AS survivor_url, r.n_members, r.merged_from_str,
        r.cluster_key
+FROM rollup r JOIN ranked rk ON rk.cluster_id = r.cluster_id AND rk.rn = 1
+"""
+
+ORACLES["authority_survivors"] = f"""
+{_PIPE_PREFIX},
+members AS (
+  SELECT cl.url, cl.cluster_id, c.warc_ts_epoch, length(c.text) AS text_len,
+         c.lang, {_LANG_RANK_SQL.strip()} AS lang_rank,
+         (c.source IN ('src1', 'src3', 'src5', 'src7', 'src9'))::INT AS is_auth
+  FROM clusters cl JOIN clean c ON c.url = cl.url
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY cluster_id
+    ORDER BY is_auth DESC, warc_ts_epoch DESC, text_len DESC,
+             lang_rank ASC, url ASC
+  ) AS rn
+  FROM members
+),
+rollup AS (
+  SELECT cluster_id, count(*)::BIGINT AS n_members,
+         string_agg(url, ',' ORDER BY url) AS merged_from_str
+  FROM members GROUP BY cluster_id
+)
+SELECT r.cluster_id, rk.url AS survivor_url, r.n_members, r.merged_from_str
 FROM rollup r JOIN ranked rk ON rk.cluster_id = r.cluster_id AND rk.rn = 1
 """
 
