@@ -131,9 +131,13 @@ def main() -> None:
           lambda: matmul_topk(emb, qm, qpdf["vec_id"].to_numpy(), k=10).count())
 
     # q8: LSH-bucketed all-pairs ANN (multi-table, multi-probe)
-    from dedup.embeddings import lsh_bucketed_topk
+    from dedup.embeddings import ivf_topk, lsh_bucketed_topk
     timed("q8_ann_lsh_topk",
           lambda: lsh_bucketed_topk(emb, k=10).count())
+
+    # q9: IVF all-pairs ANN (spherical k-means coarse quantizer)
+    timed("q9_ann_ivf_topk",
+          lambda: ivf_topk(emb, k=10, n_centroids=32, nprobe=6).count())
 
     total = round(sum(timings.values()), 3)
     out = {

@@ -288,6 +288,13 @@ def lsh_bucketed_topk(
         .distinct()
     )
 
+    return _exact_rerank_topk(cand, fixed, k)
+
+
+def _exact_rerank_topk(cand: DataFrame, fixed: DataFrame, k: int) -> DataFrame:
+    """Shared tail of the bucketed ANN paths (LSH + IVF): candidates
+    (q_id, vec_id) join the fixed-point vectors for an exact cosine,
+    then a per-query top-k window. Only candidate pairs ship vectors."""
     qa = fixed.select(
         F.col("vec_id").alias("q_id"),
         F.col("v").alias("q"),
@@ -307,3 +314,112 @@ def lsh_bucketed_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+# ------------------------------------------------------------------- IVF
+def ivf_fit_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 64,
+    sample: int = 4096,
+    iters: int = 10,
+    seed: int = 42,
+) -> np.ndarray:
+    """Coarse quantizer: spherical k-means (Lloyd) on a DETERMINISTIC
+    hash-thinned corpus sample, driver-side numpy.
+
+    The model is tiny (n_centroids × dim floats) and broadcasts; at
+    100 TB the sample is a bounded thinning scan (pmod(xxhash64(id), p)
+    == 0 — no shuffle, no random state), never a full collect. Assign
+    by max dot over L2-normalized vectors; empty cells keep their
+    previous centroid; init = first n_centroids sample rows in vec_id
+    order (deterministic given (seed, corpus))."""
+    n = embeddings.count()
+    p = max(1, n // max(sample, 1))
+    pdf = (
+        embeddings.filter(F.pmod(F.xxhash64("vec_id") + F.lit(seed), F.lit(p)) == 0)
+        .select("vec_id", "embedding")
+        .toPandas()
+        .sort_values("vec_id")
+    )
+    m = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+    m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+    kc = min(n_centroids, len(m))
+    cents = m[:kc].copy()
+    for _ in range(iters):
+        assign = np.argmax(m @ cents.T, axis=1)
+        for c in range(kc):
+            mask = assign == c
+            if mask.any():
+                v = m[mask].mean(axis=0)
+                norm = np.linalg.norm(v)
+                if norm > 1e-30:
+                    cents[c] = v / norm
+    return cents.astype(np.float32)
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    k: int = 5,
+    n_centroids: int = 64,
+    nprobe: int = 8,
+    seed: int = 42,
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """All-pairs ANN, IVF flavor (the coarse-quantizer scale path next
+    to the hyperplane-LSH one): corpus rows are assigned to their
+    nearest-centroid cell ONCE; each query probes its `nprobe` nearest
+    cells; exact cosine re-rank runs on probed-cell candidates only.
+
+    Same report shape as lsh_bucketed_topk: (q_id, vec_id, rank,
+    cosine_micro). Cell assignment and probe lists are one Arrow
+    `mapInPandas` pass each (a BLAS matvec against the broadcast
+    centroid matrix — no per-row Python); candidates are slim
+    (q_id, vec_id) rows DISTINCT-ed before any vector joins."""
+    cents = (
+        centroids
+        if centroids is not None
+        else ivf_fit_centroids(embeddings, n_centroids, seed=seed)
+    )
+    cmat = cents.astype(np.float32)
+    npb = max(1, min(nprobe, len(cmat)))
+
+    def cells(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.vstack(pdf["embedding"].to_numpy()).astype(np.float32)
+            m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+            sims = m @ cmat.T  # (batch, n_centroids)
+            # corpus cell = argmin index among max-sims (ties → lowest id)
+            cell = np.argmax(sims, axis=1)
+            # query probes = nprobe best cells
+            order = np.argsort(-sims, kind="stable", axis=1)[:, :npb]
+            out = {
+                "vec_id": np.repeat(pdf["vec_id"].to_numpy(), npb),
+                "probe_cell": order.ravel().astype("int64"),
+                "own_cell": np.repeat(cell.astype("int64"), npb),
+                "probe_rank": np.tile(np.arange(npb, dtype="int64"), len(pdf)),
+            }
+            yield pd.DataFrame(out)
+
+    assigned = embeddings.select("vec_id", "embedding").mapInPandas(
+        cells,
+        schema="vec_id long, probe_cell long, own_cell long, probe_rank long",
+    )
+    corpus_cells = (
+        assigned.filter(F.col("probe_rank") == 0)
+        .select("vec_id", F.col("own_cell").alias("cell"))
+    )
+    probes = assigned.select(
+        F.col("vec_id").alias("q_id"), F.col("probe_cell").alias("cell")
+    )
+    cand = (
+        probes.join(corpus_cells, "cell")
+        .filter(F.col("q_id") != F.col("vec_id"))
+        .select("q_id", "vec_id")
+        .distinct()
+    )
+    fixed = embeddings.select(
+        "vec_id", _fixed_point(F.col("embedding")).alias("v")
+    ).withColumn("v_n2", norm2_fixed(F.col("v")))
+    return _exact_rerank_topk(cand, fixed, k)

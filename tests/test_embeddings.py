@@ -142,3 +142,54 @@ def test_brute_force_topk_value_correct_vs_numpy_oracle(emb):
     for r in got:
         qi, vi = idx[r["q_id"]], idx[r["vec_id"]]
         assert sims[qi, vi] >= kth_best[qi] - eps, (r["q_id"], r["vec_id"])
+
+
+def test_ivf_recall_vs_brute_force_and_determinism(emb):
+    from dedup.embeddings import ivf_topk
+
+    k = 5
+    truth = _truth(emb, k)
+    got1 = _pairs(ivf_topk(emb, k=k, n_centroids=16, nprobe=6), k)
+    got2 = _pairs(ivf_topk(emb, k=k, n_centroids=16, nprobe=6), k)
+    # deterministic: hash-thinned sample + fixed Lloyd iterations
+    assert got1 == got2
+    recall = len(truth & got1) / len(truth)
+    # random embeddings are also IVF's worst case (no cluster structure);
+    # probing 6/16 cells must still recover most of the true top-5
+    assert recall >= 0.5, f"IVF recall {recall:.3f}"
+
+
+def test_ivf_nprobe_lifts_recall(emb):
+    from dedup.embeddings import ivf_fit_centroids, ivf_topk
+
+    k = 5
+    truth = _truth(emb, k)
+    cents = ivf_fit_centroids(emb, n_centroids=16)
+    lo = _pairs(ivf_topk(emb, k=k, nprobe=1, centroids=cents), k)
+    hi = _pairs(ivf_topk(emb, k=k, nprobe=8, centroids=cents), k)
+    r_lo = len(truth & lo) / len(truth)
+    r_hi = len(truth & hi) / len(truth)
+    assert r_hi >= r_lo
+    assert r_hi > 0.5
+
+
+def test_ivf_planted_cluster_is_exact(spark):
+    """Vectors forming tight planted clusters land in the same cell, so
+    IVF with even nprobe=1 finds their true neighbors exactly."""
+    from dedup.embeddings import ivf_topk
+
+    rng = np.random.default_rng(3)
+    rows = []
+    vid = 0
+    for c in range(6):
+        center = rng.normal(size=16)
+        center /= np.linalg.norm(center)
+        for _ in range(10):
+            v = center + rng.normal(scale=0.01, size=16)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = _pairs(ivf_topk(df, k=3, n_centroids=6, nprobe=1), 3)
+    # every vector's top-3 must come from its own planted cluster
+    for q, v in got:
+        assert q // 10 == v // 10, (q, v)
