@@ -102,18 +102,32 @@ def main() -> None:
     # exact-collapse + two verify joins.
     clean = sres.clean
 
+    def _released(fn):
+        # each channel run registers its internal persists and releases
+        # them right after the timed action — leaked caches would crowd
+        # later queries and accumulate across DEDUP_BENCH_REPEATS
+        def run():
+            reg: list = []
+            out = fn(reg)
+            for df in reg:
+                df.unpersist()
+            return out
+
+        return run
+
     # q3: SimHash channel on the synthetic corpus
-    timed("q3_simhash_channel",
-          lambda: simhash_channel(clean, cfg)[0].count())
+    timed("q3_simhash_channel", _released(
+        lambda reg: simhash_channel(clean, cfg, cache_registry=reg)[0].count()))
 
     # q4: substring (winnowing) channel on the synthetic corpus
-    timed("q4_substring_channel",
-          lambda: substring_edges(clean, cfg)[0].count())
+    timed("q4_substring_channel", _released(
+        lambda reg: substring_edges(clean, cfg, cache_registry=reg)[0].count()))
 
     # q7: distributed suffix-array shared-passage pass (synthetic corpus)
     from dedup.suffix import lcp_pairs_distributed
-    timed("q7_lcp_distributed",
-          lambda: lcp_pairs_distributed(clean, cfg).count())
+    timed("q7_lcp_distributed", _released(
+        lambda reg: lcp_pairs_distributed(
+            clean, cfg, cache_registry=reg).count()))
 
     sres.release()
     spages.unpersist()
@@ -136,8 +150,9 @@ def main() -> None:
           lambda: lsh_bucketed_topk(emb, k=10).count())
 
     # q9: IVF all-pairs ANN (spherical k-means coarse quantizer)
-    timed("q9_ann_ivf_topk",
-          lambda: ivf_topk(emb, k=10, n_centroids=32, nprobe=6).count())
+    timed("q9_ann_ivf_topk", _released(
+        lambda reg: ivf_topk(emb, k=10, n_centroids=32, nprobe=6,
+                             cache_registry=reg).count()))
 
     total = round(sum(timings.values()), 3)
     out = {

@@ -125,7 +125,7 @@ def main(argv: list[str] | None = None) -> int:
         from dedup.suffix import lcp_pairs_distributed
 
         lcp_pairs, lcp_hot, lcp_skipped = lcp_pairs_distributed(
-            clean, cfg, return_stats=True
+            clean, cfg, return_stats=True, cache_registry=channel_caches
         )
         cand_channels.append(lcp_pairs.select("url_a", "url_b"))
         metrics.record_stage("lcp_hot_blocks", lcp_hot)

@@ -341,6 +341,10 @@ def ivf_fit_centroids(
         .toPandas()
         .sort_values("vec_id")
     )
+    if len(pdf) == 0:
+        # empty corpus (or fully filtered): no model to fit — callers
+        # (ivf_topk) degrade to an empty result like the LSH path does
+        return np.zeros((0, 0), dtype=np.float32)
     m = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
     m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
     kc = min(n_centroids, len(m))
@@ -364,6 +368,7 @@ def ivf_topk(
     nprobe: int = 8,
     seed: int = 42,
     centroids: np.ndarray | None = None,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """All-pairs ANN, IVF flavor (the coarse-quantizer scale path next
     to the hyperplane-LSH one): corpus rows are assigned to their
@@ -381,6 +386,11 @@ def ivf_topk(
         else ivf_fit_centroids(embeddings, n_centroids, seed=seed)
     )
     cmat = cents.astype(np.float32)
+    if len(cmat) == 0:
+        # no quantizer (empty corpus) → empty result, same schema
+        return embeddings.sparkSession.createDataFrame(
+            [], "q_id long, vec_id long, cosine_micro long, rank int"
+        )
     npb = max(1, min(nprobe, len(cmat)))
 
     def cells(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -406,6 +416,12 @@ def ivf_topk(
         cells,
         schema="vec_id long, probe_cell long, own_cell long, probe_rank long",
     )
+    # TWO consumers (cell membership + probe lists) with different
+    # downstream shuffles — unpersisted, the Arrow+BLAS cells kernel
+    # would run over the full corpus twice
+    assigned = assigned.persist()
+    if cache_registry is not None:
+        cache_registry.append(assigned)
     corpus_cells = (
         assigned.filter(F.col("probe_rank") == 0)
         .select("vec_id", F.col("own_cell").alias("cell"))

@@ -70,8 +70,13 @@ def streaming_near_dup_pairs(
     State is bounded exactly like the batch hot-bucket cap: each bucket
     retains at most `state_cap` (default cfg.max_bucket_size)
     most-recent signatures — a boilerplate bucket degrades gracefully
-    instead of growing without bound. Emitted pairs may repeat across
-    bands (like batch LSH before its distinct); downstream dedups.
+    instead of growing without bound. A re-crawled url REPLACES its
+    entry in every bucket the new content maps to (identical re-crawls,
+    the common case, replace everywhere); entries in buckets a changed
+    re-crawl no longer reaches are retained deliberately — each
+    capture's pairs carry the similarity of the content at crawl time
+    (WARC-archive semantics). Emitted pairs may repeat across bands
+    (like batch LSH before its distinct); downstream dedups.
     """
     import numpy as np
     import pandas as pd
@@ -80,7 +85,7 @@ def streaming_near_dup_pairs(
         GroupStateTimeout,
     )
 
-    from dedup.minhash import explode_bands, signatures
+    from dedup.minhash import band_key_expr, signatures
 
     cap = state_cap if state_cap is not None else cfg.max_bucket_size
     floor = cfg.estimate_floor
@@ -88,7 +93,22 @@ def streaming_near_dup_pairs(
     norm = with_normalized(pages_stream)
     clean = quarantine_filter(norm)
     sig = signatures(clean, cfg).select("url", "sig")
-    bands = explode_bands(sig, cfg).join(sig, "url")
+    # band keys exploded as a PROJECTION that keeps the sig column — a
+    # join back onto sig here would be a watermark-less stream-stream
+    # self-join whose join state retains every row of both sides
+    # forever; the projection keeps the bucket operator the ONLY
+    # stateful op, bounded by state_cap
+    b, r = cfg.effective_bands, cfg.effective_rows
+    keys = F.transform(
+        F.sequence(F.lit(0), F.lit(b - 1)),
+        lambda i: F.struct(
+            i.cast("int").alias("band_idx"),
+            band_key_expr(F.col("sig"), i, r, cfg).alias("band_key"),
+        ),
+    )
+    bands = sig.select("url", "sig", F.explode(keys).alias("bk")).select(
+        "url", "sig", F.col("bk.band_idx"), F.col("bk.band_key")
+    )
 
     out_schema = "url_a string, url_b string, est_jaccard double"
     state_schema = "urls array<string>, sigs array<array<long>>"
@@ -106,9 +126,15 @@ def streaming_near_dup_pairs(
         for pdf in pdf_iter:
             for url, s in zip(pdf["url"], pdf["sig"]):
                 s_np = np.asarray(s, dtype=np.int64)
+                # a re-crawled url REPLACES its bucket entry: keeping
+                # the stale signature would emit pairs against content
+                # that no longer exists and waste cap slots on
+                # duplicates (evicting other docs under pressure)
+                stale = [i for i, u2 in enumerate(urls) if u2 == url]
+                for i in reversed(stale):
+                    urls.pop(i)
+                    seen_np.pop(i)
                 for u2, s2 in zip(urls, seen_np):
-                    if u2 == url:
-                        continue
                     est = float((s_np == s2).mean())
                     if est >= floor:
                         a, b = (url, u2) if url < u2 else (u2, url)

@@ -247,6 +247,7 @@ def lcp_pairs_distributed(
     return_hot: bool = False,
     collapse_exact: bool = True,
     return_stats: bool = False,
+    cache_registry: list | None = None,
 ) -> DataFrame | tuple[DataFrame, DataFrame] | tuple[
     DataFrame, DataFrame, DataFrame
 ]:
@@ -288,12 +289,14 @@ def lcp_pairs_distributed(
     hundreds of times through the shuffle (the channel's scale-killer
     at 100 TB). Each doc therefore joins at most that many blocks,
     preferring the RAREST blocks (smallest block size, then fp —
-    deterministic): a rare shared passage is both the cheapest and the
-    most discriminating evidence, and any pair sharing ≥ the cap's
-    worth of passages is still found through the kept blocks.
+    deterministic): a rare shared passage is the cheapest and most
+    discriminating evidence. This is a bounded-recall trade: a pair is
+    found only in a block BOTH docs keep, so a pair whose shared
+    blocks are all dropped by one side's cap IS lost — which is why
+    the dropped mass is always reported, never silent.
     `return_stats=True` returns (pairs, hot, skipped) where skipped =
-    (url, n_skipped_blocks) reports the dropped per-doc mass; None
-    disables the bound (oracle/parity runs).
+    (url, n_skipped_blocks); None disables the bound (oracle/parity
+    runs, or callers that need the exhaustive relation).
     """
     from pyspark.sql import types as T
 
@@ -315,10 +318,11 @@ def lcp_pairs_distributed(
     fps = fingerprint_table(rep_pages, cfg).distinct()
     # two consumers (block sizes + block membership) — without a
     # persist both re-run the winnowing UDF; the 16-byte rows are cheap
-    # to hold. NOTE: returned lazily through pairs_out/hot/skipped —
-    # released when the caller's session drops it (no registry here;
-    # the cli path records counts immediately).
+    # to hold. Callers that own a session longer than one channel run
+    # pass cache_registry and unpersist through it.
     fps = fps.persist()
+    if cache_registry is not None:
+        cache_registry.append(fps)
     sizes = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("n"))
     eligible = sizes.filter(
         (F.col("n") >= 2) & (F.col("n") <= cfg.substring_max_bucket)

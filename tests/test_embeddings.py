@@ -193,3 +193,10 @@ def test_ivf_planted_cluster_is_exact(spark):
     # every vector's top-3 must come from its own planted cluster
     for q, v in got:
         assert q // 10 == v // 10, (q, v)
+
+
+def test_ivf_empty_corpus_degrades_gracefully(spark):
+    from dedup.embeddings import ivf_topk
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert ivf_topk(empty, k=3).count() == 0

@@ -207,3 +207,60 @@ def test_streaming_near_dup_equals_batch_bucket_pairs(spark, tmp_path):
     }
     assert len(batch_pairs) > 0
     assert stream_pairs == batch_pairs
+
+
+def test_streaming_near_dup_recrawl_does_not_duplicate_state(spark, tmp_path):
+    """A re-crawled url REPLACES its entry in every bucket the new
+    content maps to (the common case — most re-crawls are identical, so
+    all buckets coincide): duplicate entries must not accumulate, or
+    they would waste state_cap slots and inflate emissions. Pinned
+    deterministically: after X arrives twice with identical content,
+    a later Y(same content) emits exactly effective_bands RAW pair rows
+    (one per shared bucket) — duplicated X state would emit 2×.
+    Entries in buckets a CHANGED re-crawl no longer maps to are
+    intentionally retained: each capture's pairs carry the similarity
+    of the content at crawl time (WARC-archive semantics)."""
+    import datetime
+
+    import numpy as np
+
+    from dedup.streaming import streaming_near_dup_pairs
+
+    cfg = DedupConfig()
+    rng = np.random.default_rng(29)
+    voc = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot"]
+    content_a = " ".join(voc[i] for i in rng.integers(0, len(voc), 200))
+    ts = datetime.datetime(2024, 1, 1)
+
+    def row(url, text):
+        return (url, ts, b"<html>", text, "en", [], [], [], ["h"], None)
+
+    from dedup.schema import PAGES_SCHEMA
+
+    src = str(tmp_path / "recrawl_src")
+    for batch in (
+        [row("https://x", content_a)],
+        [row("https://x", content_a)],  # identical re-crawl
+        [row("https://y", content_a)],
+    ):
+        spark.createDataFrame(batch, PAGES_SCHEMA) \
+            .coalesce(1).write.mode("append").parquet(src)
+
+    stream = read_pages_stream(spark, src, max_files_per_trigger=1)
+    q = (
+        streaming_near_dup_pairs(stream, cfg)
+        .writeStream.format("memory").queryName("recrawl_pairs")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "recrawl_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    raw = spark.sql(
+        "SELECT url_a, url_b, est_jaccard FROM recrawl_pairs"
+    ).collect()
+    xy = [r for r in raw if (r["url_a"], r["url_b"]) ==
+          ("https://x", "https://y")]
+    # one row per shared bucket; a duplicated X entry would double this
+    assert len(xy) == cfg.effective_bands, len(xy)
+    assert {r["est_jaccard"] for r in xy} == {1.0}
