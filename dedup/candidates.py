@@ -101,9 +101,12 @@ def pairs_from_buckets(
     # which would otherwise each recompute that shuffle. The PERSISTED
     # frame itself goes into cache_registry — unpersist() on a derived
     # projection would not release this cache (plan no longer
-    # sameResult), so callers must release exactly this object.
-    hot = hot.persist()
+    # sameResult), so callers must release exactly this object. Without
+    # a registry there is nobody to release it, so the persist is
+    # SKIPPED (the stats shuffle recomputes once) rather than pinning a
+    # cache for the session lifetime.
     if cache_registry is not None:
+        hot = hot.persist()
         cache_registry.append(hot)
 
     # --- sub-cap buckets: full pair expansion over bounded arrays -----

@@ -84,6 +84,7 @@ def connected_components(
     max_iterations: int = 25,
     verbose: bool = False,
     n_edges: int | None = None,
+    check_every: int = 2,
 ) -> DataFrame:
     """edges(url_a, url_b) → assignments(url, cluster_id).
 
@@ -101,30 +102,49 @@ def connected_components(
     one reducer), and at that scale the replan cost is noise. With
     ≤ 10M total edges even a fully-skewed key puts ≤ 10M slim rows on
     one task — bounded, no skew handling needed.
+
+    check_every: fingerprint (and convergence-check) only every k-th
+    iteration. Each fingerprint is a driver round-trip — one collect
+    plus one Catalyst plan of the accumulated (lazy-checkpointed) tree —
+    and that serial wall is the dominant non-scaling term in local-mode
+    benches. k=2 halves the round-trips at the cost of at most k-1
+    extra star passes over an already-converged (star-shaped, thus
+    cheap) edge set. Sound because one large+small pass only ever
+    LOWERS the label each node points at (targets are mins of current
+    neighborhoods), so the deterministic pass map admits no cycles: an
+    edge multiset equal to the one k passes earlier means every pass in
+    between was a fixed point.
     """
     import time
 
     t0 = time.time()
     small = n_edges is not None and n_edges <= AQE_OFF_MAX_EDGES
     if not small:
-        return _cc_loop(edges, max_iterations, verbose, t0)
+        return _cc_loop(edges, max_iterations, verbose, t0, check_every)
     spark = edges.sparkSession
     aqe_prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
-        return _cc_loop(edges, max_iterations, verbose, t0)
+        return _cc_loop(edges, max_iterations, verbose, t0, check_every)
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe_prev)
 
 
 def _cc_loop(
-    edges: DataFrame, max_iterations: int, verbose: bool, t0: float
+    edges: DataFrame,
+    max_iterations: int,
+    verbose: bool,
+    t0: float,
+    check_every: int = 2,
 ) -> DataFrame:
     import time
 
+    check_every = max(1, check_every)
     # lazy localCheckpoint: the fingerprint action both materializes the
-    # checkpoint and reads the convergence stats — ONE job per iteration
-    # instead of eager-checkpoint + collect (halves driver round-trips)
+    # checkpoint and reads the convergence stats — ONE job per checked
+    # iteration instead of eager-checkpoint + collect; between checks no
+    # job runs at all (the unmaterialized checkpoints chain and the next
+    # fingerprint materializes them together)
     e2 = _undirect(edges).localCheckpoint(eager=False)
     prev = _fingerprint(e2)
     if verbose:
@@ -148,6 +168,8 @@ def _cc_loop(
             after_small.select(F.col("u").alias("url_a"), F.col("v").alias("url_b")),
             dedup=False,
         ).localCheckpoint(eager=False)
+        if (it + 1) % check_every != 0 and it != max_iterations - 1:
+            continue
         cur = _fingerprint(e2)
         if verbose:
             print(f"[cc] iter {it}: {time.time() - t:.1f}s fp={cur}")

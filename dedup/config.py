@@ -158,6 +158,11 @@ class DedupConfig:
             raise ValueError(f"unknown hash_mode {self.hash_mode!r}")
         if self.uid_bits not in (64, 128):
             raise ValueError("uid_bits must be 64 or 128")
+        if not 1 <= self.simhash_bits <= 64:
+            # the batch kernel packs bits into one uint64 word
+            # (dedup/simhash.py simhash_batch unpackbits path) — >64
+            # would silently truncate to the low 64 bits
+            raise ValueError("simhash_bits must be in [1, 64]")
 
     @property
     def effective_num_perm(self) -> int:

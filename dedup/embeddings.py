@@ -332,9 +332,15 @@ def ivf_fit_centroids(
     == 0 — no shuffle, no random state), never a full collect. Assign
     by max dot over L2-normalized vectors; empty cells keep their
     previous centroid; init = first n_centroids sample rows in vec_id
-    order (deterministic given (seed, corpus))."""
+    order (deterministic given (seed, corpus)).
+
+    Sample bound: p = ceil(n / sample) keeps the expected collected
+    rows at n/p ∈ (sample/2, sample] — with floor division p could hit
+    1 for any n < 2·sample and collect the whole corpus. The fit costs
+    one extra count() action over the corpus (noted; callers fitting in
+    a loop should pass `centroids` instead)."""
     n = embeddings.count()
-    p = max(1, n // max(sample, 1))
+    p = max(1, -(-n // max(sample, 1)))  # ceil(n / sample)
     pdf = (
         embeddings.filter(F.pmod(F.xxhash64("vec_id") + F.lit(seed), F.lit(p)) == 0)
         .select("vec_id", "embedding")
@@ -418,9 +424,11 @@ def ivf_topk(
     )
     # TWO consumers (cell membership + probe lists) with different
     # downstream shuffles — unpersisted, the Arrow+BLAS cells kernel
-    # would run over the full corpus twice
-    assigned = assigned.persist()
+    # would run over the full corpus twice. Persist only under a
+    # registry (which owns the release); registry-less callers trade one
+    # kernel recompute for not pinning a session-lifetime cache.
     if cache_registry is not None:
+        assigned = assigned.persist()
         cache_registry.append(assigned)
     corpus_cells = (
         assigned.filter(F.col("probe_rank") == 0)

@@ -188,8 +188,10 @@ def simhash_channel(
     # (bucket stats + sub-cap + star expansions, then both sides of the
     # Hamming verify join) — unpersisted, each one re-runs the
     # fingerprint UDF over the whole corpus (measured: q3 30 s → ~10 s
-    # at 30k docs with the persist)
-    sim = sim.persist()
+    # at 30k docs with the persist). Persist only under a registry
+    # (which owns the release) — registry-less callers must not pin a
+    # session-lifetime cache.
     if cache_registry is not None:
+        sim = sim.persist()
         cache_registry.append(sim)
     return simhash_candidates(sim, cfg, cache_registry=cache_registry)

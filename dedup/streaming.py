@@ -51,6 +51,7 @@ def streaming_near_dup_pairs(
     pages_stream: DataFrame,
     cfg: DedupConfig,
     state_cap: int | None = None,
+    state_ttl_ms: int | None = None,
 ) -> DataFrame:
     """Cross-batch NEAR-dup candidate stream — the custom stateful
     operator the foreachBatch handoff can't express (each batch only
@@ -77,6 +78,16 @@ def streaming_near_dup_pairs(
     capture's pairs carry the similarity of the content at crawl time
     (WARC-archive semantics). Emitted pairs may repeat across bands
     (like batch LSH before its distinct); downstream dedups.
+
+    State-SIZE vs state-COUNT: the per-bucket cap bounds each state
+    entry, but the NUMBER of state keys grows with distinct
+    (band_idx, band_key) values ever seen — ≈ docs × bands for diverse
+    content. A long-running production stream must bound that with
+    `state_ttl_ms`: buckets idle longer than the TTL are dropped
+    (ProcessingTimeTimeout), trading cross-batch recall beyond the
+    horizon for bounded total state — the streaming analogue of the
+    watermark on the exact-dedup stage. None (default) keeps state
+    forever, appropriate only for bounded backfills/tests.
     """
     import numpy as np
     import pandas as pd
@@ -113,15 +124,26 @@ def streaming_near_dup_pairs(
     out_schema = "url_a string, url_b string, est_jaccard double"
     state_schema = "urls array<string>, sigs array<array<long>>"
 
+    width = cfg.effective_num_perm
+
     def bucket_fn(key, pdf_iter, state: GroupState):
+        if state.hasTimedOut:
+            # TTL expiry: drop the idle bucket's state, emit nothing
+            state.remove()
+            yield pd.DataFrame(
+                {"url_a": [], "url_b": [], "est_jaccard": []}
+            )
+            return
         urls: list[str]
-        sigs: list[list[int]]
         if state.exists:
-            urls, sigs = state.get
-            urls, sigs = list(urls), [list(s) for s in sigs]
+            st_urls, st_sigs = state.get
+            urls = list(st_urls)
+            seen = np.asarray(
+                [list(s) for s in st_sigs], dtype=np.int64
+            ).reshape(len(urls), width)
         else:
-            urls, sigs = [], []
-        seen_np = [np.asarray(s, dtype=np.int64) for s in sigs]
+            urls = []
+            seen = np.empty((0, width), dtype=np.int64)
         rows: list[tuple[str, str, float]] = []
         for pdf in pdf_iter:
             for url, s in zip(pdf["url"], pdf["sig"]):
@@ -130,23 +152,34 @@ def streaming_near_dup_pairs(
                 # the stale signature would emit pairs against content
                 # that no longer exists and waste cap slots on
                 # duplicates (evicting other docs under pressure)
-                stale = [i for i, u2 in enumerate(urls) if u2 == url]
-                for i in reversed(stale):
-                    urls.pop(i)
-                    seen_np.pop(i)
-                for u2, s2 in zip(urls, seen_np):
-                    est = float((s_np == s2).mean())
-                    if est >= floor:
+                if url in urls:
+                    keep = [i for i, u2 in enumerate(urls) if u2 != url]
+                    urls = [urls[i] for i in keep]
+                    seen = seen[keep]
+                if len(urls):
+                    # ONE broadcasted compare against the whole (cap ×
+                    # num_perm) state matrix — the batch kernels' trick,
+                    # instead of a per-entry Python loop
+                    est = (seen == s_np).mean(axis=1)
+                    for i in np.nonzero(est >= floor)[0]:
+                        u2 = urls[int(i)]
                         a, b = (url, u2) if url < u2 else (u2, url)
-                        rows.append((a, b, est))
+                        rows.append((a, b, float(est[i])))
                 urls.append(str(url))
-                seen_np.append(s_np)
+                seen = np.vstack([seen, s_np[None, :]])
         # bucket cap: most-recent survivors, like the batch hot cap
         urls = urls[-cap:]
-        seen_np = seen_np[-cap:]
-        state.update((urls, [[int(v) for v in s] for s in seen_np]))
+        seen = seen[-cap:]
+        state.update((urls, [[int(v) for v in row] for row in seen]))
+        if state_ttl_ms is not None:
+            state.setTimeoutDuration(state_ttl_ms)
         yield pd.DataFrame(rows, columns=["url_a", "url_b", "est_jaccard"])
 
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if state_ttl_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
     return (
         bands.groupBy("band_idx", "band_key")
         .applyInPandasWithState(
@@ -154,7 +187,7 @@ def streaming_near_dup_pairs(
             outputStructType=out_schema,
             stateStructType=state_schema,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=timeout,
         )
     )
 

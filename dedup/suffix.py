@@ -107,9 +107,11 @@ def substring_candidates(
     fps = fingerprint_table(rep_pages, cfg)
     # (url, fp) is 16 bytes/row with THREE consumers inside the bucket
     # expansion (stats, sub-cap, star) — unpersisted, each re-runs the
-    # winnowing UDF over the whole corpus
-    fps = fps.persist()
+    # winnowing UDF over the whole corpus. Persist only when a registry
+    # takes ownership of the release; without one the cache would pin
+    # for the session lifetime.
     if cache_registry is not None:
+        fps = fps.persist()
         cache_registry.append(fps)
     # min_collisions carries the shared-fingerprint threshold: pair
     # multiplicity (number of fingerprint buckets a pair co-occurs in)
@@ -318,10 +320,11 @@ def lcp_pairs_distributed(
     fps = fingerprint_table(rep_pages, cfg).distinct()
     # two consumers (block sizes + block membership) — without a
     # persist both re-run the winnowing UDF; the 16-byte rows are cheap
-    # to hold. Callers that own a session longer than one channel run
-    # pass cache_registry and unpersist through it.
-    fps = fps.persist()
+    # to hold. Persist only when a cache_registry takes ownership of the
+    # release (production callers pass one); registry-less callers trade
+    # one UDF recompute for not pinning a session-lifetime cache.
     if cache_registry is not None:
+        fps = fps.persist()
         cache_registry.append(fps)
     sizes = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("n"))
     eligible = sizes.filter(

@@ -186,21 +186,30 @@ def pair_reasons(
         # toAuthorityQueryObject multiplicity guard (record-utils.js:
         # 60-63): a record with more than one name-field value cannot
         # form an authority query — the reference throws
-        # 'Record has multiple names: ' + names.join() (',' separator).
-        # Reproduced as a per-record reason on each configured
-        # name-count field, preferred side first.
-        for tag, (a_col, b_col) in count_columns.items():
-            for col in (a_col, b_col):
-                c = F.coalesce(F.col(col), F.array().cast("array<string>"))
-                parts.append(
-                    _reason_when(
-                        F.size(c) > 1,
-                        F.concat(
-                            F.lit("Record has multiple names: "),
-                            F.concat_ws(",", c),
-                        ),
-                    )
+        # 'Record has multiple names: ' + names.join() (',' separator),
+        # ONCE, at the first offending field encountered while building
+        # the query. Mirrored as first-match-wins chaining across the
+        # configured count fields (like the identicalCount gate above),
+        # one reason max per side, preferred side first.
+        for side in (0, 1):
+            first_multi = None
+            for tag, cols in count_columns.items():
+                c = F.coalesce(
+                    F.col(cols[side]), F.array().cast("array<string>")
                 )
+                msg = F.concat(
+                    F.lit("Record has multiple names: "), F.concat_ws(",", c)
+                )
+                first_multi = (
+                    F.when(F.size(c) > 1, msg)
+                    if first_multi is None
+                    else first_multi.when(F.size(c) > 1, msg)
+                )
+            parts.append(
+                F.when(first_multi.isNotNull(), F.array(first_multi)).otherwise(
+                    F.array().cast("array<string>")
+                )
+            )
 
     # same300TypeAndCount (mergeability-validators.js:152-178) on the
     # physical-extent analogue column, pre-inferred per url.

@@ -265,3 +265,62 @@ def test_release_unpersists_all_pinned_caches(spark):
         for df in res.cached
     )
     res.release()  # idempotent
+
+
+def test_no_registry_pins_no_channel_caches(spark):
+    """Channel helpers called WITHOUT a cache_registry must not persist
+    anything: with nobody to release them, those caches would pin for
+    the session lifetime (the round-3 driver_queries leak)."""
+    from dedup.candidates import pairs_from_buckets
+    from dedup.minhash import explode_bands, signatures
+    from dedup.normalize import quarantine_filter, with_normalized
+    from dedup.simhash import simhash_channel
+    from dedup.suffix import lcp_pairs_distributed, substring_candidates
+
+    jvm_sc = spark.sparkContext._jsc.sc()
+
+    def cached_ids() -> set[int]:
+        # compare RDD-id SETS, not counts: earlier tests' non-blocking
+        # unpersist / ContextCleaner may remove entries concurrently,
+        # which only ever SHRINKS the set — new ids are what a leak adds
+        it = jvm_sc.getPersistentRDDs().keys().iterator()
+        ids = set()
+        while it.hasNext():
+            ids.add(it.next())
+        return ids
+
+    base = cached_ids()
+
+    def leaked() -> set[int]:
+        return cached_ids() - base
+
+    pages, _truth, _sources = corpus_dataframes(spark, n_docs=120, seed=11)
+    clean = quarantine_filter(with_normalized(pages))
+    cfg = DedupConfig()
+
+    pairs, _hot = pairs_from_buckets(
+        explode_bands(signatures(clean, cfg), cfg),
+        ["band_idx", "band_key"], cfg,
+    )
+    pairs.count()
+    assert not leaked(), "pairs_from_buckets leaked a cache"
+
+    sim_pairs, _ = simhash_channel(clean, cfg)
+    sim_pairs.count()
+    assert not leaked(), "simhash_channel leaked a cache"
+
+    sub_pairs, _ = substring_candidates(clean, cfg)
+    sub_pairs.count()
+    assert not leaked(), "substring_candidates leaked a cache"
+
+    lcp_pairs_distributed(clean, cfg).count()
+    assert not leaked(), "lcp_pairs_distributed leaked a cache"
+
+    # the registry path still persists (and the caller releases)
+    reg: list = []
+    sim_pairs2, _ = simhash_channel(clean, cfg, cache_registry=reg)
+    sim_pairs2.count()
+    assert len(reg) >= 1 and leaked()
+    for df in reg:
+        df.unpersist(blocking=True)
+    assert not leaked()

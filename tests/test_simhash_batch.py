@@ -55,3 +55,17 @@ def test_spark_udf_matches_reference(spark):
     got = {r["url"]: r["simhash"] for r in with_simhash(df, cfg).collect()}
     assert got["u1"] == got["u2"]  # multiset-identical → identical fp
     assert got["u1"] != got["u3"]
+
+
+def test_simhash_bits_over_64_rejected():
+    """The batch kernel packs bits into one uint64 word — >64 would
+    silently truncate to the low 64 bits; the config refuses it."""
+    import pytest
+
+    from dedup.config import DedupConfig
+
+    with pytest.raises(ValueError, match="simhash_bits"):
+        DedupConfig(simhash_bits=65)
+    with pytest.raises(ValueError, match="simhash_bits"):
+        DedupConfig(simhash_bits=0)
+    DedupConfig(simhash_bits=32)  # in-range still fine

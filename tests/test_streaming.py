@@ -264,3 +264,70 @@ def test_streaming_near_dup_recrawl_does_not_duplicate_state(spark, tmp_path):
     # one row per shared bucket; a duplicated X entry would double this
     assert len(xy) == cfg.effective_bands, len(xy)
     assert {r["est_jaccard"] for r in xy} == {1.0}
+
+
+def test_streaming_near_dup_state_ttl_drops_idle_buckets(spark, tmp_path):
+    """state_ttl_ms bounds TOTAL state (the number of bucket keys, which
+    otherwise grows with every distinct band key ever seen): a bucket
+    idle past the TTL is dropped, so a near-dup arriving after an
+    intermediate batch that let the timer fire finds no history. The
+    TTL-less control on the same input still pairs — proving the drop is
+    the TTL, not the operator."""
+    import datetime
+
+    import numpy as np
+
+    from dedup.schema import PAGES_SCHEMA
+    from dedup.streaming import streaming_near_dup_pairs
+
+    cfg = DedupConfig()
+    rng = np.random.default_rng(31)
+    voc = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot"]
+    # disjoint vocabulary: the filler must NOT land in (and thereby
+    # keep alive, or pair inside) base's band buckets
+    voc2 = ["golf", "hotel", "india", "juliet", "kilo", "lima"]
+
+    def words(vocab, n):
+        return " ".join(vocab[i] for i in rng.integers(0, len(vocab), n))
+
+    base = words(voc, 200)
+    filler = words(voc2, 200)
+    ts = datetime.datetime(2024, 1, 1)
+
+    def row(url, text):
+        return (url, ts, b"<html>", text, "en", [], [], [], ["h"], None)
+
+    src = str(tmp_path / "ttl_src")
+    # batch 1: base; batch 2: unrelated filler (its trigger processes
+    # the expired timers of base's now-idle buckets); batch 3: re-crawl
+    # of base content under a new url
+    for batch in (
+        [row("https://t/base", base)],
+        [row("https://t/filler", filler)],
+        [row("https://t/late", base)],
+    ):
+        spark.createDataFrame(batch, PAGES_SCHEMA) \
+            .coalesce(1).write.mode("append").parquet(src)
+
+    def run(name: str, ttl: int | None) -> set[tuple[str, str]]:
+        stream = read_pages_stream(spark, src, max_files_per_trigger=1)
+        q = (
+            streaming_near_dup_pairs(stream, cfg, state_ttl_ms=ttl)
+            .writeStream.format("memory").queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / f"{name}_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(240)
+        return {
+            (r["url_a"], r["url_b"])
+            for r in spark.sql(
+                f"SELECT DISTINCT url_a, url_b FROM {name}"
+            ).collect()
+        }
+
+    with_ttl = run("ttl_pairs", ttl=1)  # 1 ms: idle buckets expire
+    control = run("ttl_control", ttl=None)
+    assert ("https://t/base", "https://t/late") in control
+    assert ("https://t/base", "https://t/late") not in with_ttl
