@@ -12,6 +12,8 @@ DataFrame semantics (joins + windows) per batch.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from dedup.config import DedupConfig
@@ -189,6 +191,175 @@ def streaming_near_dup_pairs(
             outputMode="append",
             timeoutConf=timeout,
         )
+    )
+
+
+@dataclass
+class StreamingDedupResult:
+    """Batch-tail outputs over the accumulated streaming stores."""
+
+    pairs: DataFrame        # gated candidate pairs (+jaccard, reasons)
+    edges: DataFrame        # pairs that passed every gate
+    assignments: DataFrame  # (url, cluster_id) for every stored url
+
+
+def start_streaming_stores(
+    spark: SparkSession,
+    input_path: str,
+    work_dir: str,
+    cfg: DedupConfig,
+    watermark: str = "1 hour",
+    max_files_per_trigger: int = 1,
+    state_cap: int | None = None,
+    state_ttl_ms: int | None = None,
+) -> list:
+    """Start the two exactly-once streams the verify tail consumes:
+
+    1. ``{work_dir}/pages`` — quarantine-filtered, watermark-exact-
+       deduped clean pages (the accumulated corpus store; html dropped,
+       norm_text kept so the tail can recompute shingles/features).
+    2. ``{work_dir}/pairs`` — cross-batch near-dup candidates from the
+       stateful bucket operator.
+
+    Both run ``Trigger.AvailableNow`` against their own checkpoints, so
+    a restarted driver resumes exactly where it stopped (the batch
+    checkpoint/resume analogue). Returns the StreamingQuery handles.
+
+    A candidate pair may name a url the exact-dedup watermark dropped
+    (a byte-identical re-crawl under a new url): the tail's inner join
+    onto the pages store discards it — correct, because the surviving
+    twin carries the same content through verification.
+    """
+    stream = read_pages_stream(spark, input_path, max_files_per_trigger)
+    pages_q = (
+        incremental_exact_dedup(stream, cfg, watermark)
+        .drop("html")
+        .writeStream.format("parquet")
+        .option("path", f"{work_dir}/pages")
+        .option("checkpointLocation", f"{work_dir}/_ckpt_pages")
+        .trigger(availableNow=True)
+        .start()
+    )
+    stream2 = read_pages_stream(spark, input_path, max_files_per_trigger)
+    pairs_q = (
+        streaming_near_dup_pairs(
+            stream2, cfg, state_cap=state_cap, state_ttl_ms=state_ttl_ms
+        )
+        .writeStream.format("parquet")
+        .option("path", f"{work_dir}/pairs")
+        .option("checkpointLocation", f"{work_dir}/_ckpt_pairs")
+        .trigger(availableNow=True)
+        .start()
+    )
+    return [pages_q, pairs_q]
+
+
+def streaming_verify_tail(
+    pages_store: DataFrame,
+    candidate_pairs: DataFrame,
+    cfg: DedupConfig,
+    sources: DataFrame | None = None,
+    host_ids: DataFrame | None = None,
+) -> StreamingDedupResult:
+    """Run the stream's candidates through the SAME tail as the batch
+    pipeline — exact Jaccard, then the full reason-gate stack, then
+    connected components — the way the reference feeds every pair
+    through canMerge regardless of provenance
+    (marc-record-merge-melindautils.js:84-104). The stream front-end
+    only proposes; nothing reaches a cluster without passing the gates.
+
+    pages_store: the accumulated clean store written by
+    start_streaming_stores (normalized columns present).
+    candidate_pairs: (url_a, url_b[, est_jaccard]) from the near-dup
+    stream; repeats across bands/batches are deduped here.
+    """
+    from dedup.cluster import assignments_with_singletons, connected_components
+    from dedup.minhash import with_shingles
+    from dedup.verify import (
+        attach_features,
+        jaccard_on_pairs,
+        pair_reasons,
+        url_features,
+        verified_edges,
+    )
+
+    cand = candidate_pairs.select("url_a", "url_b").distinct()
+    # shingles recomputed from the stored norm_text for urls that appear
+    # in a candidate pair ONLY (the batch pipeline's recompute-for-
+    # survivors discipline — the wide arrays never hit a cache)
+    needed = cand.select(
+        F.explode(F.array("url_a", "url_b")).alias("url")
+    ).distinct()
+    sh = with_shingles(pages_store.join(needed, "url"), cfg).select(
+        "url", "shingles"
+    )
+    with_j = jaccard_on_pairs(cand, sh)
+
+    feats = url_features(pages_store, sources)
+    pairs = attach_features(with_j, feats)
+    # same column-presence wiring as run_dedup: every rule/count gate
+    # whose column exists on the store participates
+    rule_columns = {
+        t: (f"a_{t}", f"b_{t}")
+        for t in sorted(cfg.field_rules)
+        if t in pages_store.columns
+    }
+    count_columns = {
+        t: (f"a_{t}", f"b_{t}")
+        for t in cfg.count_fields
+        if t in pages_store.columns
+    }
+    pairs = pair_reasons(
+        pairs, cfg, host_ids,
+        rule_columns=rule_columns or None,
+        count_columns=count_columns or None,
+    )
+    edges = verified_edges(pairs, cfg, "stream")
+    slim = edges.select("url_a", "url_b").distinct().localCheckpoint(eager=True)
+    assign = connected_components(slim, n_edges=slim.count())
+    assign = assignments_with_singletons(assign, pages_store.select("url"))
+    return StreamingDedupResult(pairs=pairs, edges=edges, assignments=assign)
+
+
+def run_streaming_dedup(
+    spark: SparkSession,
+    input_path: str,
+    work_dir: str,
+    cfg: DedupConfig,
+    sources: DataFrame | None = None,
+    host_ids: DataFrame | None = None,
+    watermark: str = "1 hour",
+    max_files_per_trigger: int = 1,
+    state_cap: int | None = None,
+    state_ttl_ms: int | None = None,
+    timeout_s: int = 600,
+) -> StreamingDedupResult:
+    """One-call streaming dedup: drain the input with the two
+    exactly-once streams, then run the batch verify tail over the
+    accumulated stores. Re-invoking after more files land resumes both
+    streams from their checkpoints and re-derives the tail over the
+    grown stores (the tail is a deterministic function of the stores)."""
+    for q in start_streaming_stores(
+        spark, input_path, work_dir, cfg,
+        watermark=watermark,
+        max_files_per_trigger=max_files_per_trigger,
+        state_cap=state_cap,
+        state_ttl_ms=state_ttl_ms,
+    ):
+        if not q.awaitTermination(timeout_s):
+            q.stop()
+            raise TimeoutError(f"streaming store {q.name!r} did not drain")
+    pages_store = spark.read.parquet(f"{work_dir}/pages")
+    try:
+        candidate_pairs = spark.read.parquet(f"{work_dir}/pairs")
+    except Exception:
+        # zero candidates emitted → the parquet sink wrote no files;
+        # every stored url is its own cluster
+        candidate_pairs = spark.createDataFrame(
+            [], "url_a string, url_b string, est_jaccard double"
+        )
+    return streaming_verify_tail(
+        pages_store, candidate_pairs, cfg, sources=sources, host_ids=host_ids
     )
 
 

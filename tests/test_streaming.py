@@ -331,3 +331,81 @@ def test_streaming_near_dup_state_ttl_drops_idle_buckets(spark, tmp_path):
     control = run("ttl_control", ttl=None)
     assert ("https://t/base", "https://t/late") in control
     assert ("https://t/base", "https://t/late") not in with_ttl
+
+
+def test_streaming_candidates_flow_through_verify_tail(spark, tmp_path):
+    """End-to-end: the stream's cross-batch near-dup candidates run
+    through the SAME reason gates + CC as the batch pipeline (the
+    reference feeds every pair through canMerge,
+    marc-record-merge-melindautils.js:84-104). A cross-batch near-dup
+    lands in a cluster; an equally-similar pair gated by source overlap
+    does not."""
+    import datetime
+
+    import numpy as np
+
+    from dedup.schema import PAGES_SCHEMA, SOURCES_SCHEMA
+    from dedup.streaming import run_streaming_dedup
+
+    cfg = DedupConfig()
+    rng = np.random.default_rng(7)
+    voc = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+           "golf", "hotel"]
+    base_words = [voc[i] for i in rng.integers(0, len(voc), 250)]
+
+    def variant(*edits: tuple[int, str]) -> str:
+        w = list(base_words)
+        for pos, word in edits:
+            w[pos] = word
+        return " ".join(w)
+
+    ts = datetime.datetime(2024, 3, 1)
+
+    def row(url, text):
+        return (url, ts, b"<html>", text, "en", [], [], [], ["h"], None)
+
+    a, b, c = "https://s/a", "https://s/b", "https://s/c"
+    src = str(tmp_path / "tail_src")
+    # three micro-batches: every near-dup pair is CROSS-batch
+    for batch in (
+        [row(a, variant())],
+        [row(b, variant((10, "india")))],
+        [row(c, variant((200, "juliet")))],
+    ):
+        spark.createDataFrame(batch, PAGES_SCHEMA) \
+            .coalesce(1).write.mode("append").parquet(src)
+
+    # a∩c share s1, b∩c share s2 → both c-pairs gate on source overlap
+    # (noSameLOWTags); a∩b share nothing → merges
+    sources = spark.createDataFrame(
+        [(a, "s1", None), (b, "s2", None),
+         (c, "s1", None), (c, "s2", None)],
+        SOURCES_SCHEMA,
+    )
+
+    res = run_streaming_dedup(
+        spark, src, str(tmp_path / "tail_work"), cfg, sources=sources
+    )
+
+    # all three candidate pairs surfaced and carry gate verdicts
+    pairs = {
+        (r["url_a"], r["url_b"]): r
+        for r in res.pairs.select(
+            "url_a", "url_b", "jaccard", "can_merge", "reasons"
+        ).collect()
+    }
+    assert set(pairs) == {(a, b), (a, c), (b, c)}
+    for p in pairs.values():  # similarity is NOT the discriminator here
+        assert p["jaccard"] >= cfg.jaccard_threshold
+    assert pairs[(a, b)]["can_merge"]
+    assert not pairs[(a, c)]["can_merge"]
+    assert "Both records have have LOW tag: s1" in pairs[(a, c)]["reasons"]
+    assert "Both records have have LOW tag: s2" in pairs[(b, c)]["reasons"]
+
+    # only the ungated pair became an edge; c stays a singleton cluster
+    edges = {(r["url_a"], r["url_b"])
+             for r in res.edges.select("url_a", "url_b").collect()}
+    assert edges == {(a, b)}
+    assign = {r["url"]: r["cluster_id"] for r in res.assignments.collect()}
+    assert assign[a] == assign[b] == a
+    assert assign[c] == c
