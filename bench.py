@@ -85,15 +85,26 @@ def main() -> None:
     # 81 s on a bad draw): min-of-2 by default, spread in the artifact.
     timed("q1_dedup_documents", _q1, repeats=max(REPEATS, 2))
 
-    # q2: synthetic-corpus dedup at bench scale → docs/sec metric
+    # q2: synthetic-corpus dedup at bench scale → docs/sec metric.
+    # min-of-2 like q1: q2 dominates the total, so a single draw would
+    # put the host's ~2x run-to-run variance straight into the headline;
+    # the artifact's spread carries every wall. The LAST run's caches
+    # stay live (q3/q4/q7 share its `clean`); earlier runs release.
     spages, _truth, ssources = corpus_dataframes(spark, N_SYNTH, seed=42)
     spages = spages.repartition(int(CPUS)).cache()
     n_docs = spages.count()
-    t0 = time.time()
-    sres = run_dedup(spages, cfg, sources=ssources)
-    n_clusters = sres.survivors.count()
-    dedup_wall = time.time() - t0
-    timings["q2_dedup_synth"] = round(dedup_wall, 3)
+    sres = None
+    q2_walls: list[float] = []
+    for _ in range(max(REPEATS, 2)):
+        if sres is not None:
+            sres.release()
+        t0 = time.time()
+        sres = run_dedup(spages, cfg, sources=ssources)
+        n_clusters = sres.survivors.count()
+        q2_walls.append(round(time.time() - t0, 3))
+    dedup_wall = min(q2_walls)
+    timings["q2_dedup_synth"] = dedup_wall
+    spread["q2_dedup_synth"] = q2_walls
 
     # q3/q4/q7 measure the CHANNELS, not the normalizer: they share q2's
     # already-persisted narrow `clean` cache (one normalization per bench

@@ -8,6 +8,12 @@ formulation keeps every operator streaming). Per-iteration
 localCheckpoint truncates the lineage so plans don't grow with rounds,
 and convergence is detected by an aggregate fingerprint of the edge
 multiset (one count + hash-sum, no driver-side edge materialization).
+
+Regime switch: when the caller knows the edge count and it is at most
+DRIVER_CC_MAX_EDGES, labeling runs as a driver-side vectorized
+union-find over the collected slim edge list instead — identical
+assignments, none of the loop's per-round scheduler wall (see
+DRIVER_CC_MAX_EDGES for the measured rationale).
 """
 
 from __future__ import annotations
@@ -76,7 +82,21 @@ def _fingerprint(e2: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
-AQE_OFF_MAX_EDGES = 10_000_000
+# Below this edge count CC runs as a driver-side vectorized union-find
+# on the collected slim edge list (≤ 160 MB at the bound) instead of
+# the distributed star loop. Rationale: the loop costs ~4-6 scheduled
+# shuffle stages PER ROUND plus a fingerprint collect per checked round
+# — measured 15-20 s of almost-pure driver/scheduler wall on a 16k-edge
+# graph where the numpy kernel takes 10 ms (and 7.6 s at the full 10M-
+# edge bound, dense worst case). CC on an edge list that fits in driver
+# memory is not a distributed problem; this is the same regime switch a
+# 100-TB job makes once verification has shrunk the pair set, and the
+# same idea as AQE converting a shuffle join to broadcast below a size
+# bound. Above the bound the star loop runs with AQE ON — _with_min's
+# join back onto a skewed `u` relies on AQE skew-join splitting for
+# mega-component hubs (a 10⁸-degree boilerplate hub must not land on
+# one reducer), and at that scale the replan cost is noise.
+DRIVER_CC_MAX_EDGES = 10_000_000
 
 
 def connected_components(
@@ -92,42 +112,98 @@ def connected_components(
     the reference's canonical field ordering guarantees
     (lib/record-utils.js:116-131).
 
-    n_edges: pass the (cheaply known) verified-edge count to pick the
-    AQE mode without an extra job. AQE's per-query-stage jobs cost
-    ~1.3 s of driver-only wall per CC iteration — pure serial overhead
-    when the edge set is small — so the loop runs AQE-free below
-    AQE_OFF_MAX_EDGES. ABOVE the bound AQE stays ON: _with_min's join
-    back onto a skewed `u` relies on AQE skew-join splitting for
-    mega-component hubs (a 10⁸-degree boilerplate hub must not land on
-    one reducer), and at that scale the replan cost is noise. With
-    ≤ 10M total edges even a fully-skewed key puts ≤ 10M slim rows on
-    one task — bounded, no skew handling needed.
+    n_edges: pass the (cheaply known) verified-edge count to let small
+    graphs (≤ DRIVER_CC_MAX_EDGES) take the driver union-find path —
+    identical assignments, none of the loop's per-round scheduling
+    wall. None (unknown size) always runs the distributed loop.
 
     check_every: fingerprint (and convergence-check) only every k-th
-    iteration. Each fingerprint is a driver round-trip — one collect
-    plus one Catalyst plan of the accumulated (lazy-checkpointed) tree —
-    and that serial wall is the dominant non-scaling term in local-mode
-    benches. k=2 halves the round-trips at the cost of at most k-1
-    extra star passes over an already-converged (star-shaped, thus
-    cheap) edge set. Sound because one large+small pass only ever
-    LOWERS the label each node points at (targets are mins of current
-    neighborhoods), so the deterministic pass map admits no cycles: an
-    edge multiset equal to the one k passes earlier means every pass in
-    between was a fixed point.
+    loop iteration. Each fingerprint is a driver round-trip — one
+    collect plus one Catalyst plan of the accumulated (lazy-
+    checkpointed) tree — and that serial wall is the dominant
+    non-scaling term in local-mode benches. k=2 halves the round-trips
+    at the cost of at most k-1 extra star passes over an already-
+    converged (star-shaped, thus cheap) edge set. Sound because one
+    large+small pass only ever LOWERS the label each node points at
+    (targets are mins of current neighborhoods), so the deterministic
+    pass map admits no cycles: an edge multiset equal to the one k
+    passes earlier means every pass in between was a fixed point.
     """
     import time
 
     t0 = time.time()
-    small = n_edges is not None and n_edges <= AQE_OFF_MAX_EDGES
-    if not small:
-        return _cc_loop(edges, max_iterations, verbose, t0, check_every)
+    if n_edges is not None and n_edges <= DRIVER_CC_MAX_EDGES:
+        return _cc_driver(edges, verbose, t0)
+    return _cc_loop(edges, max_iterations, verbose, t0, check_every)
+
+
+def _numpy_cc(a, b, n: int):
+    """Vectorized union-find on dense int edge arrays: min-label hook +
+    full pointer-jumping compression per round, active-edge filtering.
+    O(log n) rounds, each a handful of whole-array numpy ops; ~7.6 s at
+    10M edges/5M nodes dense worst case, 0.1 s at 400k dedup-shaped
+    edges. Returns the fully-compressed parent array (parent[i] = index
+    of the component's minimum node)."""
+    import numpy as np
+
+    parent = np.arange(n, dtype=np.int64)
+    while True:
+        pa, pb = parent[a], parent[b]
+        active = pa != pb
+        if not active.any():
+            return parent
+        a, b = a[active], b[active]
+        pa, pb = pa[active], pb[active]
+        lo = np.minimum(pa, pb)
+        hi = np.maximum(pa, pb)
+        # hook the larger root toward the smaller label; minimum.at
+        # resolves colliding hooks to the smallest (order-independent →
+        # deterministic)
+        np.minimum.at(parent, hi, lo)
+        while True:
+            nxt = parent[parent]
+            if np.array_equal(nxt, parent):
+                break
+            parent = nxt
+
+
+def _cc_driver(edges: DataFrame, verbose: bool, t0: float) -> DataFrame:
+    """Small-graph path: collect the slim (url_a, url_b) list, label on
+    the driver, ship assignments back. Output rows are exactly the
+    distributed loop's: one (url, cluster_id=component-min) row per
+    node appearing in a non-self-loop edge. Works for any orderable key
+    type — long surrogates, 16-byte binary digests, real url strings —
+    because np.unique's sort order matches Spark's (signed int64;
+    bytes / UTF-8 strings lexicographic)."""
+    import time
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    key_type = edges.schema["url_a"].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("url", key_type, False),
+            T.StructField("cluster_id", key_type, False),
+        ]
+    )
     spark = edges.sparkSession
-    aqe_prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try:
-        return _cc_loop(edges, max_iterations, verbose, t0, check_every)
-    finally:
-        spark.conf.set("spark.sql.adaptive.enabled", aqe_prev)
+    pdf = edges.select("url_a", "url_b").toPandas()
+    av, bv = pdf["url_a"].to_numpy(), pdf["url_b"].to_numpy()
+    keep = av != bv  # self-loops assign nothing (matches _undirect)
+    av, bv = av[keep], bv[keep]
+    if len(av) == 0:
+        return spark.createDataFrame([], out_schema)
+    ids, inv = np.unique(np.concatenate([av, bv]), return_inverse=True)
+    inv = inv.astype(np.int64, copy=False)
+    parent = _numpy_cc(inv[: len(av)], inv[len(av):], len(ids))
+    # ids is SORTED, so the min index within a component is the min key
+    out = pd.DataFrame({"url": ids, "cluster_id": ids[parent]})
+    if verbose:
+        print(f"[cc] driver union-find: {time.time() - t0:.1f}s "
+              f"({len(av)} edges, {len(ids)} nodes)")
+    return spark.createDataFrame(out, out_schema)
 
 
 def _cc_loop(

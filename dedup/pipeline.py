@@ -103,6 +103,7 @@ def run_dedup(
     persist: bool = True,
     persist_pairs: bool = False,
     clean: DataFrame | None = None,
+    timings: dict | None = None,
 ) -> DedupResult:
     """Compose the full pipeline.
 
@@ -123,8 +124,15 @@ def run_dedup(
       the caller also built channels from the same frame, so the whole
       run shares one normalization cache. Caller-owned: this function
       neither persists nor releases it (release() won't touch it).
+    timings: optional dict; receives wall-clock splits of the eager
+      phases (plan_front_s, edges_s, cc_s, tail_build_s) — the dev
+      observability hook the bench/scaling protocols read.
     """
+    import time as _time
+
     from pyspark import StorageLevel
+
+    _t0 = _time.time()
 
     cached: list[DataFrame] = []  # every persist this run pins (release())
 
@@ -353,6 +361,9 @@ def run_dedup(
         warm_thread.join()
         if warm_errs:
             raise warm_errs[0]
+    if timings is not None:
+        timings["plan_front_s"] = round(_time.time() - _t0, 3)
+        _t0 = _time.time()
     if persist:
         # materialize + truncate lineage BEFORE the CC loop: Spark 4.1's
         # cache substitution misses this lambda-heavy plan when embedded
@@ -366,7 +377,13 @@ def run_dedup(
     # AQE mode — serial-cheap AQE-free iterations for small graphs,
     # AQE skew-join protection for mega-hub graphs
     n_edges = edges.count() if persist else None
+    if timings is not None:
+        timings["edges_s"] = round(_time.time() - _t0, 3)
+        _t0 = _time.time()
     assign = connected_components(edges, n_edges=n_edges)
+    if timings is not None:
+        timings["cc_s"] = round(_time.time() - _t0, 3)
+        _t0 = _time.time()
     assign = assignments_with_singletons(assign, kpages.select("url"))
     if persist:
         # lazy checkpoint: truncates the CC-loop lineage out of every
@@ -413,6 +430,8 @@ def run_dedup(
         )
     )
 
+    if timings is not None:
+        timings["tail_build_s"] = round(_time.time() - _t0, 3)
     return DedupResult(
         clean=clean,
         quarantined=quarantined,
