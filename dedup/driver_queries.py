@@ -299,7 +299,10 @@ def _clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     edges = _edges(spark, sf_dir).select("url_a", "url_b")
     clean = _clean(spark, sf_dir)
-    assign = connected_components(edges)
+    # count → the driver union-find regime (exercises the small-graph
+    # path under the oracle gate; the loop path is oracle-equivalent by
+    # the test_cluster equivalence suite)
+    assign = connected_components(edges, n_edges=edges.count())
     return assignments_with_singletons(assign, clean.select("url"))
 
 
