@@ -105,6 +105,7 @@ def connected_components(
     verbose: bool = False,
     n_edges: int | None = None,
     check_every: int = 2,
+    driver_max_edges: int | None = None,
 ) -> DataFrame:
     """edges(url_a, url_b) → assignments(url, cluster_id).
 
@@ -116,6 +117,10 @@ def connected_components(
     graphs (≤ DRIVER_CC_MAX_EDGES) take the driver union-find path —
     identical assignments, none of the loop's per-round scheduling
     wall. None (unknown size) always runs the distributed loop.
+
+    driver_max_edges: override the regime bound (None → module default;
+    0 forces the distributed loop — the scaling protocol uses this so
+    the gate measures the large-graph regime).
 
     check_every: fingerprint (and convergence-check) only every k-th
     loop iteration. Each fingerprint is a driver round-trip — one
@@ -132,7 +137,8 @@ def connected_components(
     import time
 
     t0 = time.time()
-    if n_edges is not None and n_edges <= DRIVER_CC_MAX_EDGES:
+    bound = DRIVER_CC_MAX_EDGES if driver_max_edges is None else driver_max_edges
+    if n_edges is not None and n_edges <= bound:
         return _cc_driver(edges, verbose, t0)
     return _cc_loop(edges, max_iterations, verbose, t0, check_every)
 

@@ -148,6 +148,14 @@ class DedupConfig:
     # Every operator treats uid as an opaque orderable key, so the two
     # paths produce identical cluster assignments.
     uid_bits: int = 64
+    # connected-components regime bound override: None → the module
+    # default (dedup/cluster.DRIVER_CC_MAX_EDGES, 10M edges); 0 forces
+    # the distributed star loop regardless of edge count. The scaling
+    # protocol pins 0 so the gate measures the LARGE-graph regime (at
+    # the 10¹²-doc design point the verified edge set far exceeds any
+    # driver bound, so the loop is what actually runs there); production
+    # leaves None and small graphs label on the driver.
+    cc_driver_max_edges: int | None = None
 
     def __post_init__(self) -> None:
         if self.bands * self.rows_per_band != self.num_perm:

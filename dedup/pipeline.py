@@ -380,7 +380,9 @@ def run_dedup(
     if timings is not None:
         timings["edges_s"] = round(_time.time() - _t0, 3)
         _t0 = _time.time()
-    assign = connected_components(edges, n_edges=n_edges)
+    assign = connected_components(
+        edges, n_edges=n_edges, driver_max_edges=cfg.cc_driver_max_edges
+    )
     if timings is not None:
         timings["cc_s"] = round(_time.time() - _t0, 3)
         _t0 = _time.time()

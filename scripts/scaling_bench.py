@@ -55,7 +55,13 @@ n_docs, cores, corpus_dir = {docs}, {cores}, {corpus_dir!r}
 # threads) changes between the runs
 spark = get_spark("scaling-{cores}", master=f"local[{cores}]",
                   shuffle_partitions={parts})
-cfg = DedupConfig()
+# cc_driver_max_edges=0 (loop mode, the default gate protocol) forces
+# the distributed star loop: the north-rule gate measures the LARGE-
+# graph regime — at the 10^12-doc design point the verified edge set
+# far exceeds the 10M driver-union-find bound, so the loop is what
+# actually runs there. Hybrid mode (production default) measures the
+# absolute-throughput configuration instead.
+cfg = DedupConfig(cc_driver_max_edges={cc_bound})
 if corpus_dir:
     # corpus pre-generated ONCE by the parent (driver-side pandas
     # generation of multi-million-doc corpora is single-threaded and
@@ -127,10 +133,11 @@ def ensure_corpus_cache(docs: int, seed: int = 42) -> str:
 
 def run_once(
     docs: int, cores: int, parts: int, pin: bool = False,
-    corpus_dir: str = "",
+    corpus_dir: str = "", cc_mode: str = "loop",
 ) -> dict:
     code = _RUN_SNIPPET.format(
-        repo=REPO, docs=docs, cores=cores, parts=parts, corpus_dir=corpus_dir
+        repo=REPO, docs=docs, cores=cores, parts=parts, corpus_dir=corpus_dir,
+        cc_bound=0 if cc_mode == "loop" else None,
     )
     # pin: confine the whole process tree (JVM GC/netty/IO threads,
     # python workers, BLAS) to `cores` physical CPUs — the honest
@@ -222,7 +229,8 @@ def weak_scaling(docs: int, parts: int) -> dict:
     import time
 
     code = _RUN_SNIPPET.format(
-        repo=REPO, docs=docs, cores=2, parts=parts, corpus_dir=""
+        repo=REPO, docs=docs, cores=2, parts=parts, corpus_dir="",
+        cc_bound=0,
     )
 
     def one(cpus: str) -> dict:
@@ -267,6 +275,13 @@ def main() -> None:
     ap.add_argument("--shuffle-partitions", type=int, default=16,
                     help="fixed across both levels (cluster analogy: "
                          "partitioning doesn't change when executors do)")
+    ap.add_argument("--cc-mode", choices=("loop", "hybrid"), default="loop",
+                    help="loop (default) forces the distributed CC star "
+                         "loop — the gate measures the large-graph "
+                         "regime the 10^12-doc design point runs in; "
+                         "hybrid uses the production regime switch "
+                         "(driver union-find below 10M edges) for "
+                         "absolute-throughput rows")
     ap.add_argument("--pin", action="store_true",
                     help="taskset each run to its core budget (bounds "
                          "JVM GC/netty + python workers, like a real "
@@ -316,11 +331,11 @@ def main() -> None:
     for _ in range(args.repeats):
         lows.append(
             run_once(args.docs, args.low, args.shuffle_partitions, args.pin,
-                     corpus_dir)
+                     corpus_dir, args.cc_mode)
         )
         highs.append(
             run_once(args.docs, args.high, args.shuffle_partitions, args.pin,
-                     corpus_dir)
+                     corpus_dir, args.cc_mode)
         )
     low = min(lows, key=lambda r: r["wall_s"])
     high = min(highs, key=lambda r: r["wall_s"])
@@ -333,6 +348,7 @@ def main() -> None:
     eff = speedup / ideal
     report = {
         "docs": args.docs,
+        "cc_mode": args.cc_mode,
         "cpu_pinned": bool(args.pin),
         "low": low,
         "high": high,
@@ -358,7 +374,7 @@ def main() -> None:
     if os.path.exists(bench_path):
         with open(bench_path) as f:
             prev = json.load(f)
-        for key in ("weak_scaling", "efficiency_vs_docs"):
+        for key in ("weak_scaling", "efficiency_vs_docs", "hybrid_absolute"):
             if key in prev:
                 report[key] = prev[key]
     # every pinned protocol run extends the efficiency-vs-size trend
