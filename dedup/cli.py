@@ -56,6 +56,30 @@ def main(argv: list[str] | None = None) -> int:
                          "authorized display forms for the post-merge "
                          "override; both-authorized clusters are routed "
                          "to `rejected`")
+    ap.add_argument("--sources", default=None,
+                    help="parquet path with (url, source, source_local_id): "
+                         "per-url source memberships for the overlap gate "
+                         "and survivor lineage (synthetic mode generates "
+                         "its own unless this overrides it)")
+    ap.add_argument("--streaming", action="store_true",
+                    help="treat --input as a landing directory and run the "
+                         "incremental path: two exactly-once streams "
+                         "(watermark exact dedup + cross-batch near-dup "
+                         "state) drain into stores under --output, then "
+                         "the batch verify tail runs over the stores. "
+                         "Re-invoking with the same --output resumes from "
+                         "the stream checkpoints and reprocesses only new "
+                         "files.")
+    ap.add_argument("--watermark", default="1 hour",
+                    help="streaming event-time horizon for exact-dedup "
+                         "state (and the re-crawl replacement window)")
+    ap.add_argument("--state-cap", type=int, default=None,
+                    help="streaming: max signatures retained per LSH "
+                         "bucket state entry")
+    ap.add_argument("--state-ttl-ms", type=int, default=None,
+                    help="streaming: drop bucket state idle longer than "
+                         "this (bounds TOTAL state for long-running "
+                         "streams; default keeps state forever)")
     args = ap.parse_args(argv)
 
     from dedup.checkpoint import CheckpointStore
@@ -82,6 +106,17 @@ def main(argv: list[str] | None = None) -> int:
         if args.authorized_names
         else None
     )
+    side_sources = (
+        spark.read.parquet(args.sources) if args.sources else None
+    )
+
+    if args.streaming:
+        if not args.input:
+            ap.error("--streaming needs --input (the landing directory)")
+        return _run_streaming(
+            spark, args, cfg, side_sources, host_ids, authorized_names
+        )
+
     store = CheckpointStore(args.output, run_id=args.run_id)
     if not args.resume:
         store.invalidate_from("clean", [
@@ -92,9 +127,11 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.synthetic:
         pages, truth, sources = corpus_dataframes(spark, args.synthetic, args.seed)
+        if side_sources is not None:
+            sources = side_sources
     elif args.input:
         pages = spark.read.parquet(args.input)
-        sources = None
+        sources = side_sources
     else:
         ap.error("need --input or --synthetic")
 
@@ -182,6 +219,55 @@ def main(argv: list[str] | None = None) -> int:
             df.unpersist()
         except Exception:
             pass
+    spark.stop()
+    return 0
+
+
+def _run_streaming(
+    spark, args, cfg, sources, host_ids, authorized_names
+) -> int:
+    """Incremental surface: drain the landing directory through the two
+    exactly-once streams (stores + checkpoints under {output}/stream),
+    run the batch verify tail over the accumulated stores, write the
+    same result tables the batch path writes. Idempotent per invocation:
+    re-running after more files land resumes the streams and re-derives
+    the tail over the grown stores."""
+    from dedup.metrics import StageMetrics
+    from dedup.streaming import run_streaming_dedup
+
+    metrics = StageMetrics()
+    t0 = time.time()
+    res = run_streaming_dedup(
+        spark, args.input, f"{args.output}/stream", cfg,
+        sources=sources, host_ids=host_ids,
+        authorized_names=authorized_names,
+        watermark=args.watermark,
+        state_cap=args.state_cap,
+        state_ttl_ms=args.state_ttl_ms,
+        run_id=args.run_id,
+    )
+    for name, df in (
+        ("pairs", res.pairs),
+        ("edges", res.edges),
+        ("assignments", res.assignments),
+        ("survivors", res.survivors),
+        ("rejected", res.rejected),
+    ):
+        df.write.mode("overwrite").parquet(f"{args.output}/{name}")
+        metrics.record_stage(
+            name, spark.read.parquet(f"{args.output}/{name}"),
+            histogram=(name == "assignments"),
+        )
+
+    wall = time.time() - t0
+    n_docs = metrics.records[2]["rows_out"]  # assignments = stored urls
+    metrics.records.append(
+        {"stage": "TOTAL", "wall_s": wall, "docs": n_docs,
+         "docs_per_sec": n_docs / wall if wall else 0.0,
+         "mode": "streaming"}
+    )
+    metrics.write(f"{args.output}/metrics.jsonl")
+    print(json.dumps(metrics.records[-1]))
     spark.stop()
     return 0
 

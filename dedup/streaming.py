@@ -201,6 +201,8 @@ class StreamingDedupResult:
     pairs: DataFrame        # gated candidate pairs (+jaccard, reasons)
     edges: DataFrame        # pairs that passed every gate
     assignments: DataFrame  # (url, cluster_id) for every stored url
+    survivors: DataFrame    # one preferred record per cluster
+    rejected: DataFrame     # both-authorized clusters routed to reject
 
 
 def start_streaming_stores(
@@ -260,11 +262,16 @@ def streaming_verify_tail(
     cfg: DedupConfig,
     sources: DataFrame | None = None,
     host_ids: DataFrame | None = None,
+    authorized_names: DataFrame | None = None,
+    run_id: str = "stream-0",
+    run_ts: str = "1970-01-01T00:00:00+00:00",
 ) -> StreamingDedupResult:
     """Run the stream's candidates through the SAME tail as the batch
     pipeline — exact Jaccard, then the full reason-gate stack, then
-    connected components — the way the reference feeds every pair
-    through canMerge regardless of provenance
+    connected components, then survivor selection with the full
+    post-merge ordering (reprint notes, authorized-format override
+    LAST, applyPostMergeModifications parity) — the way the reference
+    feeds every pair through canMerge regardless of provenance
     (marc-record-merge-melindautils.js:84-104). The stream front-end
     only proposes; nothing reaches a cluster without passing the gates.
 
@@ -275,6 +282,11 @@ def streaming_verify_tail(
     """
     from dedup.cluster import assignments_with_singletons, connected_components
     from dedup.minhash import with_shingles
+    from dedup.survivor import (
+        apply_authorized_override,
+        reprint_notes,
+        select_survivors,
+    )
     from dedup.verify import (
         attach_features,
         jaccard_on_pairs,
@@ -318,7 +330,22 @@ def streaming_verify_tail(
     slim = edges.select("url_a", "url_b").distinct().localCheckpoint(eager=True)
     assign = connected_components(slim, n_edges=slim.count())
     assign = assignments_with_singletons(assign, pages_store.select("url"))
-    return StreamingDedupResult(pairs=pairs, edges=edges, assignments=assign)
+    # survivor tail, batch-ordered (run_dedup's exact sequence): the
+    # stream works on real urls throughout, so no uid/label remap is
+    # needed — feats already carries everything select_survivors reads
+    members = assign.join(feats, "url")
+    survivors = select_survivors(
+        members, cfg, authority_sources=cfg.authority_sources,
+        run_id=run_id, run_ts=run_ts,
+    )
+    survivors = reprint_notes(members, survivors)
+    survivors = apply_authorized_override(survivors, members, authorized_names)
+    rejected = survivors.filter(F.col("reject_reason").isNotNull())
+    survivors = survivors.filter(F.col("reject_reason").isNull())
+    return StreamingDedupResult(
+        pairs=pairs, edges=edges, assignments=assign,
+        survivors=survivors, rejected=rejected,
+    )
 
 
 def run_streaming_dedup(
@@ -328,11 +355,13 @@ def run_streaming_dedup(
     cfg: DedupConfig,
     sources: DataFrame | None = None,
     host_ids: DataFrame | None = None,
+    authorized_names: DataFrame | None = None,
     watermark: str = "1 hour",
     max_files_per_trigger: int = 1,
     state_cap: int | None = None,
     state_ttl_ms: int | None = None,
     timeout_s: int = 600,
+    run_id: str = "stream-0",
 ) -> StreamingDedupResult:
     """One-call streaming dedup: drain the input with the two
     exactly-once streams, then run the batch verify tail over the
@@ -359,7 +388,8 @@ def run_streaming_dedup(
             [], "url_a string, url_b string, est_jaccard double"
         )
     return streaming_verify_tail(
-        pages_store, candidate_pairs, cfg, sources=sources, host_ids=host_ids
+        pages_store, candidate_pairs, cfg, sources=sources,
+        host_ids=host_ids, authorized_names=authorized_names, run_id=run_id,
     )
 
 

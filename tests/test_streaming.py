@@ -3,6 +3,7 @@ dedup in-stream → foreachBatch handoff; exactly-once via checkpoint."""
 
 from __future__ import annotations
 
+import json
 import os
 
 import pytest
@@ -409,3 +410,80 @@ def test_streaming_candidates_flow_through_verify_tail(spark, tmp_path):
     assign = {r["url"]: r["cluster_id"] for r in res.assignments.collect()}
     assert assign[a] == assign[b] == a
     assert assign[c] == c
+
+    # survivor tail parity: one survivor per cluster, none rejected
+    surv = {r["cluster_id"]: r["survivor_url"]
+            for r in res.survivors.collect()}
+    assert set(surv) == {a, c}
+    assert surv[a] in (a, b) and surv[c] == c
+    assert res.rejected.count() == 0
+
+
+def test_cli_streaming_mode_resumes_across_invocations(spark, tmp_path):
+    """The spark-submit surface end-to-end: `--streaming` drains the
+    landing directory, writes the batch-shaped result tables, and a
+    SECOND invocation resumes from the stream checkpoints — including
+    the near-dup bucket STATE, so a doc landed in invocation 2 pairs
+    with one processed in invocation 1."""
+    import datetime
+
+    import dedup.session as session
+    from dedup import cli
+    from dedup.schema import PAGES_SCHEMA
+
+    voc = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+           "golf", "hotel"]
+    # index-suffixed words: diverse shingles, so a one-word edit stays
+    # comfortably above the 0.8 Jaccard gate (a pure 8-word cycle left
+    # the pair at 0.79 — repetitive text has few distinct shingles)
+    base_words = [f"{voc[i % len(voc)]}{i}" for i in range(250)]
+
+    def text(*edits: tuple[int, str]) -> str:
+        w = list(base_words)
+        for pos, word in edits:
+            w[pos] = word
+        return " ".join(w)
+
+    def row(url, txt, hour):
+        ts = datetime.datetime(2024, 3, 1, hour)
+        return (url, ts, b"<html>", txt, "en", [], [], [], ["h"], None)
+
+    a, b = "https://cli/a", "https://cli/b"
+    filler = " ".join(voc[i % len(voc)] * 2 for i in range(300))
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "out")
+    spark.createDataFrame(
+        [row(a, text(), 0), row("https://cli/f", filler, 0)], PAGES_SCHEMA
+    ).coalesce(1).write.mode("append").parquet(landing)
+
+    orig_get_spark, session.get_spark = session.get_spark, lambda *x, **k: spark
+    orig_stop, spark.stop = spark.stop, lambda: None
+    try:
+        argv = ["--streaming", "--input", landing, "--output", out,
+                "--watermark", "10 days"]
+        assert cli.main(argv) == 0
+        assert spark.read.parquet(f"{out}/assignments").count() == 2
+        assert spark.read.parquet(f"{out}/survivors").count() == 2
+
+        # invocation 2: only the new file is processed; the bucket state
+        # restored from the checkpoint pairs b with invocation 1's a
+        spark.createDataFrame(
+            [row(b, text((10, "india")), 1)], PAGES_SCHEMA
+        ).coalesce(1).write.mode("append").parquet(landing)
+        assert cli.main(argv) == 0
+    finally:
+        session.get_spark = orig_get_spark
+        spark.stop = orig_stop
+
+    pairs = {(r["url_a"], r["url_b"])
+             for r in spark.read.parquet(f"{out}/pairs").collect()}
+    assert (a, b) in pairs
+    assign = {r["url"]: r["cluster_id"]
+              for r in spark.read.parquet(f"{out}/assignments").collect()}
+    assert assign[a] == assign[b] == a
+    assert spark.read.parquet(f"{out}/survivors").count() == 2
+
+    with open(f"{out}/metrics.jsonl") as f:
+        total = [json.loads(line) for line in f][-1]
+    assert total["stage"] == "TOTAL" and total["mode"] == "streaming"
+    assert total["docs"] == 3
