@@ -374,7 +374,8 @@ def main() -> None:
     if os.path.exists(bench_path):
         with open(bench_path) as f:
             prev = json.load(f)
-        for key in ("weak_scaling", "efficiency_vs_docs", "hybrid_absolute"):
+        for key in ("weak_scaling", "efficiency_vs_docs", "hybrid_absolute",
+                    "spark_alu_control"):
             if key in prev:
                 report[key] = prev[key]
     # every pinned protocol run extends the efficiency-vs-size trend
