@@ -688,6 +688,38 @@ def q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SimHash channel END-TO-END (guard → fingerprint kernel →
+    pigeonhole buckets → exact Hamming verify, dedup/simhash.py
+    simhash_channel). With chunks=4 and max_hamming=3 the pigeonhole
+    guarantee makes the channel EXACT (any pair within distance
+    chunks-1 shares a chunk), so the oracle is a brute-force
+    all-pairs Hamming computed from independently-derived SQL bit
+    votes — this oracles the channel's PAIRS, not just the
+    fingerprints (simhash_bits covers those)."""
+    from dedup.simhash import simhash_channel
+
+    clean = _clean(spark, sf_dir)
+    pairs, _hot = simhash_channel(clean, CFG)
+    return pairs.select(
+        "url_a", "url_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting, both tokenizers (dedup/textstats.py): whitespace
+    and the BPE-flavored heuristic (alnum runs + one token per
+    punctuation mark)."""
+    from dedup.textstats import bpe_ish_token_count
+
+    pages = load_pages(spark, sf_dir)
+    return pages.select(
+        "url",
+        token_count(F.col("text")).alias("ws_tokens"),
+        bpe_ish_token_count(F.col("text")).alias("bpe_tokens"),
+    )
+
+
 QUERIES = {
     "pages_derivation": q_pages,
     "normalize_flags": q_normalize,
@@ -712,6 +744,8 @@ QUERIES = {
     "lcp_shared_passages": q_lcp_pairs,
     "estimate_agreement": q_estimate_agreement,
     "authority_survivors": q_authority_survivors,
+    "simhash_dup_pairs": q_simhash_pairs,
+    "token_counts": q_token_counts,
 }
 
 
@@ -1165,4 +1199,45 @@ ranked AS (
 SELECT q_id::BIGINT AS q_id, vec_id::BIGINT AS vec_id, rank::BIGINT AS rank,
        cosine_micro
 FROM ranked WHERE rank <= 5
+"""
+
+# simhash_dup_pairs: brute-force Hamming over independently-derived bit
+# votes (per-bit compare instead of packed int64 xor — sidesteps the
+# sign bit). Eligibility mirrors the channel's short-doc guard
+# (simhash_min_len=64 on the normalized text). chunks=4 / max_hamming=3
+# ⇒ pigeonhole-exact, so channel output == this spec relation.
+ORACLES["simhash_dup_pairs"] = f"""
+WITH {_PAGES_CTE.strip()}, {_NORM_CTE.strip()}, {_CLEAN_CTE.strip()},
+elig AS (SELECT url, norm_text FROM clean WHERE length(norm_text) >= 64),
+toks AS (
+  SELECT url, {_h60("tok")} AS th
+  FROM (SELECT url, unnest(string_split(norm_text, ' ')) AS tok FROM elig)
+),
+bits AS (SELECT unnest(range(0, 64))::INT AS bit),
+fp AS (
+  SELECT t.url, b.bit,
+         (sum(((t.th >> b.bit) & 1) * 2 - 1) > 0)::INT AS bv
+  FROM toks t CROSS JOIN bits b
+  GROUP BY t.url, b.bit
+)
+SELECT a.url AS url_a, b.url AS url_b,
+       sum(CASE WHEN a.bv <> b.bv THEN 1 ELSE 0 END)::BIGINT AS hamming
+FROM fp a JOIN fp b ON a.bit = b.bit AND a.url < b.url
+GROUP BY a.url, b.url
+HAVING sum(CASE WHEN a.bv <> b.bv THEN 1 ELSE 0 END) <= 3
+"""
+
+ORACLES["token_counts"] = f"""
+WITH {_PAGES_CTE.strip()}
+SELECT url,
+       CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+       END::BIGINT AS ws_tokens,
+       CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len(list_filter(
+                   regexp_split_to_array(text, '[^0-9A-Za-zÀ-ÿ]+'),
+                   s -> len(s) > 0))
+                 + length(regexp_replace(text, '[0-9A-Za-zÀ-ÿ\\s]+', '', 'g'))
+       END::BIGINT AS bpe_tokens
+FROM pages
 """
