@@ -157,8 +157,8 @@ def main() -> None:
 
     # q8: LSH-bucketed all-pairs ANN (multi-table, multi-probe)
     from dedup.embeddings import ivf_topk, lsh_bucketed_topk
-    timed("q8_ann_lsh_topk",
-          lambda: lsh_bucketed_topk(emb, k=10).count())
+    timed("q8_ann_lsh_topk", _released(
+        lambda reg: lsh_bucketed_topk(emb, k=10, cache_registry=reg).count()))
 
     # q9: IVF all-pairs ANN (spherical k-means coarse quantizer)
     timed("q9_ann_ivf_topk", _released(

@@ -200,3 +200,75 @@ def test_ivf_empty_corpus_degrades_gracefully(spark):
 
     empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
     assert ivf_topk(empty, k=3).count() == 0
+
+
+def test_hyperplane_batch_keys_bit_equal_spec(emb):
+    """The Arrow+BLAS bucket-key pass must be BIT-IDENTICAL to the
+    declarative hyperplane_bucket spec expression — both sides run the
+    dot in fixed-point int64, so the sign cannot depend on summation
+    order (the property the batch path's matmul relies on)."""
+    from dedup.embeddings import hyperplane_bucket, hyperplane_keys_batch
+
+    seeds = [42 + 1000003 * t for t in range(3)]
+    batch = hyperplane_keys_batch(emb, 5, seeds)
+    spec = emb.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).cast("int").alias("tbl"),
+                        hyperplane_bucket(F.col("embedding"), 5, s).alias(
+                            "bucket"
+                        ),
+                    )
+                    for t, s in enumerate(seeds)
+                ]
+            )
+        ).alias("tk"),
+    ).select("vec_id", F.col("tk.tbl"), F.col("tk.bucket"))
+    assert batch.exceptAll(spec).count() == 0
+    assert spec.exceptAll(batch).count() == 0
+
+
+def test_cosine_micro_batch_bit_equal_declarative(emb):
+    """The Arrow einsum cosine must equal the zip_with/aggregate
+    fixed-point cosine value-for-value (exact int64 dot; identical IEEE
+    double steps in the same order)."""
+    from dedup.embeddings import (
+        _fixed_point,
+        cosine_micro_batch,
+        dot_fixed,
+        norm2_fixed,
+    )
+
+    fixed = emb.select(
+        "vec_id", _fixed_point(F.col("embedding")).alias("v")
+    ).withColumn("n2", norm2_fixed(F.col("v")))
+    a = fixed.select(
+        F.col("vec_id").alias("ida"), F.col("v").alias("q"),
+        F.col("n2").alias("q_n2"),
+    ).limit(40)
+    b = fixed.select(
+        F.col("vec_id").alias("idb"), F.col("v").alias("v2"),
+        F.col("n2").alias("v_n2"),
+    ).limit(40)
+    j = a.crossJoin(b)
+    cos = cosine_micro_batch()
+    decl = F.floor(
+        dot_fixed(F.col("q"), F.col("v2")).cast("double")
+        / (
+            F.sqrt(F.col("q_n2").cast("double"))
+            * F.sqrt(F.col("v_n2").cast("double"))
+        )
+        * 1000000
+    ).cast("long")
+    diff = (
+        j.select(
+            (cos(F.col("q"), F.col("v2"), F.col("q_n2"), F.col("v_n2"))
+             - decl).alias("d")
+        )
+        .filter(F.col("d") != 0)
+        .count()
+    )
+    assert diff == 0
