@@ -126,19 +126,28 @@ def main() -> None:
 
         return run
 
+    # q3/q4/q7/q8/q9 run min-of-2 like q1/q2 (spread in the artifact):
+    # the first draw of each channel pays one-off python-worker spawn
+    # for its pandas-UDF stages plus whatever the co-tenant host adds
+    # (~2x run-to-run variance); the second draw measures the channel.
+    ch_repeats = max(REPEATS, 2)
+
     # q3: SimHash channel on the synthetic corpus
     timed("q3_simhash_channel", _released(
-        lambda reg: simhash_channel(clean, cfg, cache_registry=reg)[0].count()))
+        lambda reg: simhash_channel(clean, cfg, cache_registry=reg)[0].count()),
+        repeats=ch_repeats)
 
     # q4: substring (winnowing) channel on the synthetic corpus
     timed("q4_substring_channel", _released(
-        lambda reg: substring_edges(clean, cfg, cache_registry=reg)[0].count()))
+        lambda reg: substring_edges(clean, cfg, cache_registry=reg)[0].count()),
+        repeats=ch_repeats)
 
     # q7: distributed suffix-array shared-passage pass (synthetic corpus)
     from dedup.suffix import lcp_pairs_distributed
     timed("q7_lcp_distributed", _released(
         lambda reg: lcp_pairs_distributed(
-            clean, cfg, cache_registry=reg).count()))
+            clean, cfg, cache_registry=reg).count()),
+        repeats=ch_repeats)
 
     sres.release()
     spages.unpersist()
@@ -158,12 +167,14 @@ def main() -> None:
     # q8: LSH-bucketed all-pairs ANN (multi-table, multi-probe)
     from dedup.embeddings import ivf_topk, lsh_bucketed_topk
     timed("q8_ann_lsh_topk", _released(
-        lambda reg: lsh_bucketed_topk(emb, k=10, cache_registry=reg).count()))
+        lambda reg: lsh_bucketed_topk(emb, k=10, cache_registry=reg).count()),
+        repeats=ch_repeats)
 
     # q9: IVF all-pairs ANN (spherical k-means coarse quantizer)
     timed("q9_ann_ivf_topk", _released(
         lambda reg: ivf_topk(emb, k=10, n_centroids=32, nprobe=6,
-                             cache_registry=reg).count()))
+                             cache_registry=reg).count()),
+        repeats=ch_repeats)
 
     total = round(sum(timings.values()), 3)
     out = {
