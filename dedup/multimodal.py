@@ -2,12 +2,14 @@
 metadata (training-data pipeline component).
 
 The Spark-side plumbing is real and tested: schemas, partition-friendly
-batch shapes, mapInPandas signatures, metadata extraction from
-deterministic container headers. The codec work itself (JPEG decode,
-resampling, frame extraction) is stubbed behind clearly-marked hooks —
-the image/audio libraries are not in this container — with a
-deterministic fake used by tests so the distributed plumbing is
-exercised end-to-end.
+batch shapes, mapInPandas signatures, metadata extraction from container
+headers. Decode is REAL for uncompressed containers — BMP (24-bit
+BI_RGB) images and RIFF/WAVE PCM-16 audio are parsed with pure
+`struct`, no external codec — so the decode → feature pipelines run
+against true bytes end-to-end. Compressed codecs (JPEG/PNG/Opus/H.264)
+stay behind clearly-marked NotImplementedError hooks — those libraries
+are not in this container — with a deterministic fake container also
+supported so tests can exercise arbitrary dims cheaply.
 """
 
 from __future__ import annotations
@@ -50,17 +52,114 @@ def _parse_header(payload: bytes) -> tuple[str, int, int] | None:
     return kind, w, h
 
 
-def decode_image(payload: bytes) -> np.ndarray:
-    """REAL-CODEC HOOK — would be PIL/turbojpeg on a cluster image.
+# ---------------------------------------------------------------------------
+# real uncompressed-container codecs (pure struct — no external libs)
+# ---------------------------------------------------------------------------
 
-    Raises NotImplementedError for genuine image formats; decodes the
-    deterministic fake container so the distributed plumbing is testable.
-    """
+
+def pack_bmp(pix: np.ndarray) -> bytes:
+    """Write a standard 24-bit BI_RGB bottom-up BMP. Accepts (h, w)
+    grayscale (replicated to RGB) or (h, w, 3) RGB uint8."""
+    pix = np.asarray(pix, dtype=np.uint8)
+    if pix.ndim == 2:
+        pix = np.repeat(pix[:, :, None], 3, axis=2)
+    h, w, _ = pix.shape
+    row_raw = w * 3
+    pad = (-row_raw) % 4
+    # BMP stores rows bottom-up in BGR order, each row padded to 4 bytes
+    bgr = pix[::-1, :, ::-1]
+    rows = np.zeros((h, row_raw + pad), dtype=np.uint8)
+    rows[:, :row_raw] = bgr.reshape(h, row_raw)
+    body = rows.tobytes()
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body),
+                      2835, 2835, 0, 0)
+    off = 14 + 40
+    hdr = struct.pack("<2sIHHI", b"BM", off + len(body), 0, 0, off)
+    return hdr + dib + body
+
+
+def _decode_bmp(payload: bytes) -> np.ndarray:
+    off, = struct.unpack_from("<I", payload, 10)
+    dib_size, w, h_signed, _planes, bpp, comp = struct.unpack_from(
+        "<IiiHHI", payload, 14
+    )
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError(
+            f"BMP decode supports uncompressed 24-bit BI_RGB only "
+            f"(got bpp={bpp}, compression={comp}); compressed formats "
+            "need a real codec on the cluster image"
+        )
+    h = abs(h_signed)
+    stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(payload, dtype=np.uint8, count=h * stride,
+                         offset=off).reshape(h, stride)
+    bgr = rows[:, : w * 3].reshape(h, w, 3)
+    if h_signed > 0:  # bottom-up (the standard layout)
+        bgr = bgr[::-1]
+    return bgr[:, :, ::-1].copy()  # BGR → RGB
+
+
+def pack_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """Write a canonical RIFF/WAVE PCM-16 container. Accepts (n,) mono
+    or (n, ch) int16."""
+    samples = np.asarray(samples, dtype="<i2")
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    n, ch = samples.shape
+    data = samples.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, ch, sample_rate,
+                      sample_rate * ch * 2, ch * 2, 16)
+    chunks = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+              + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def _wav_chunks(payload: bytes) -> dict[bytes, tuple[int, int]]:
+    """Header-only RIFF chunk scan → {id: (offset, size)} — no frame
+    decode, so the metadata pass stays O(header) per row."""
+    out: dict[bytes, tuple[int, int]] = {}
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        size, = struct.unpack_from("<I", payload, pos + 4)
+        out[cid] = (pos + 8, size)
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    return out
+
+
+def _decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    chunks = _wav_chunks(payload)
+    if b"fmt " not in chunks or b"data" not in chunks:
+        raise NotImplementedError("malformed RIFF/WAVE: missing fmt/data")
+    fo, _ = chunks[b"fmt "]
+    audio_fmt, ch, rate, _br, _ba, bits = struct.unpack_from(
+        "<HHIIHH", payload, fo
+    )
+    if audio_fmt != 1 or bits != 16:
+        raise NotImplementedError(
+            f"WAV decode supports PCM-16 only (got format={audio_fmt}, "
+            f"bits={bits}); compressed audio needs a real codec"
+        )
+    do, dsize = chunks[b"data"]
+    frames = np.frombuffer(payload, dtype="<i2",
+                           count=dsize // 2, offset=do)
+    return frames.reshape(-1, ch), rate
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Image decode: REAL for uncompressed 24-bit BMP (pure struct,
+    returns (h, w, 3) RGB uint8) and for the deterministic fake
+    container ((h, w) grayscale). Compressed formats (JPEG/PNG/...)
+    raise NotImplementedError — install PIL/turbojpeg on the cluster
+    image and extend this dispatch."""
+    if payload is not None and payload[:2] == b"BM" and len(payload) > 54:
+        return _decode_bmp(payload)
     hdr = _parse_header(payload)
     if hdr is None:
         raise NotImplementedError(
-            "real image codecs are not available in this container; "
-            "install PIL/turbojpeg on the cluster image and replace this hook"
+            "compressed image codecs are not available in this container; "
+            "install PIL/turbojpeg on the cluster image and extend "
+            "decode_image's dispatch"
         )
     _kind, w, h = hdr
     body = np.frombuffer(payload[13:], dtype=np.uint8)
@@ -68,21 +167,72 @@ def decode_image(payload: bytes) -> np.ndarray:
     return pix
 
 
+def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
+    """Audio decode: REAL for RIFF/WAVE PCM-16 (pure struct, returns
+    ((n_frames, channels) int16, sample_rate)); the deterministic fake
+    container decodes its body as mono PCM at 16 kHz. Compressed audio
+    raises NotImplementedError."""
+    if payload is not None and payload[:4] == b"RIFF" \
+            and payload[8:12] == b"WAVE":
+        return _decode_wav(payload)
+    hdr = _parse_header(payload)
+    if hdr is None:
+        raise NotImplementedError(
+            "compressed audio codecs are not available in this container; "
+            "extend decode_audio's dispatch on the cluster image"
+        )
+    body = payload[13:]
+    frames = np.frombuffer(body[: len(body) & ~1], dtype="<i2")
+    return frames[:, None], 16000
+
+
+def _probe_header(
+    payload: bytes,
+) -> tuple[str | None, int | None, int | None, int | None, int | None]:
+    """(kind, width, height, sample_rate, n_frames) from the container
+    HEADER only — no pixel/frame decode, O(header bytes) per row."""
+    if payload is None:
+        return None, None, None, None, None
+    if payload[:2] == b"BM" and len(payload) > 54:
+        _size, w, h, *_ = struct.unpack_from("<IiiHHI", payload, 14)
+        return "image", int(w), abs(int(h)), None, None
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        chunks = _wav_chunks(payload)
+        if b"fmt " in chunks:
+            fo, _ = chunks[b"fmt "]
+            _f, ch, rate, _br, _ba, _b = struct.unpack_from(
+                "<HHIIHH", payload, fo
+            )
+            n = chunks[b"data"][1] // (2 * max(ch, 1)) \
+                if b"data" in chunks else None
+            return "audio", None, None, int(rate), n
+    hdr = _parse_header(payload)
+    if hdr is not None:
+        kind, w, h = hdr
+        return kind, w, h, 16000 if kind == "audio" else None, None
+    return None, None, None, None, None
+
+
 def extract_media_meta(media: DataFrame) -> DataFrame:
-    """Header-only metadata pass — cheap, no full decode, vectorized."""
+    """Header-only metadata pass — cheap, no full decode, vectorized.
+    Recognizes real BMP and RIFF/WAVE headers plus the fake container;
+    unknown containers yield null metadata (never an error — at 100 TB
+    a corrupt header must not kill the scan)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            metas = [_parse_header(p) for p in pdf["payload"]]
+            metas = [_probe_header(p) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
-                    "kind_parsed": [m[0] if m else None for m in metas],
-                    "width": pd.array(
-                        [m[1] if m else None for m in metas], dtype="Int32"
+                    "kind_parsed": [m[0] for m in metas],
+                    "width": pd.array([m[1] for m in metas], dtype="Int32"),
+                    "height": pd.array([m[2] for m in metas], dtype="Int32"),
+                    "sample_rate": pd.array(
+                        [m[3] for m in metas], dtype="Int32"
                     ),
-                    "height": pd.array(
-                        [m[2] if m else None for m in metas], dtype="Int32"
+                    "n_frames": pd.array(
+                        [m[4] for m in metas], dtype="Int64"
                     ),
                     "payload_bytes": [
                         len(p) if p is not None else 0 for p in pdf["payload"]
@@ -94,7 +244,7 @@ def extract_media_meta(media: DataFrame) -> DataFrame:
         gen,
         schema=(
             "media_id long, kind_parsed string, width int, height int,"
-            " payload_bytes long"
+            " sample_rate int, n_frames long, payload_bytes long"
         ),
     )
 
@@ -115,6 +265,8 @@ def image_features(media: DataFrame, thumb: int = 8) -> DataFrame:
                     pix = decode_image(payload)
                 except NotImplementedError:
                     continue
+                if pix.ndim == 3:  # real RGB decode → luma
+                    pix = pix.mean(axis=2)
                 h, w = pix.shape
                 ys = np.linspace(0, h - 1, thumb).astype(int)
                 xs = np.linspace(0, w - 1, thumb).astype(int)
@@ -126,6 +278,84 @@ def image_features(media: DataFrame, thumb: int = 8) -> DataFrame:
     return media.filter(F.col("kind") == "image").select(
         "media_id", "payload"
     ).mapInPandas(gen, schema="media_id long, feature array<float>")
+
+
+def audio_features(media: DataFrame, n_windows: int = 8) -> DataFrame:
+    """Decode → fixed-window RMS energy profile, batched via
+    mapInPandas: the audio analog of image_features (frame-sampling a
+    long signal into a fixed-size feature). Real WAV PCM-16 payloads
+    decode for real; compressed audio is skipped via the codec hook."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, rates, counts, feats = [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    frames, rate = decode_audio(payload)
+                except NotImplementedError:
+                    continue
+                mono = frames.astype(np.float32).mean(axis=1) / 32768.0
+                n = len(mono)
+                if n == 0:
+                    rms = [0.0] * n_windows
+                else:
+                    # n_windows equal slices (last one absorbs remainder)
+                    edges = np.linspace(0, n, n_windows + 1).astype(int)
+                    rms = [
+                        float(np.sqrt(np.mean(mono[a:b] ** 2))) if b > a
+                        else 0.0
+                        for a, b in zip(edges[:-1], edges[1:])
+                    ]
+                ids.append(mid)
+                rates.append(rate)
+                counts.append(n)
+                feats.append(rms)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "sample_rate": pd.array(rates, dtype="Int32"),
+                    "n_samples": pd.array(counts, dtype="Int64"),
+                    # object dtype: an EMPTY default-dtype column arrives
+                    # at Arrow as float64 ndarray, which cannot convert
+                    # to list<float>
+                    "rms": pd.Series(feats, dtype="object"),
+                }
+            )
+
+    return media.filter(F.col("kind") == "audio").select(
+        "media_id", "payload"
+    ).mapInPandas(
+        gen,
+        schema="media_id long, sample_rate int, n_samples long,"
+               " rms array<float>",
+    )
+
+
+def real_media_corpus(spark, n: int = 48, seed: int = 7) -> DataFrame:
+    """Deterministic corpus of REAL containers — 24-bit BMPs and PCM-16
+    WAVs written by this module's own struct packers — so the decode →
+    feature pipelines are exercised against true bytes end-to-end."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        if i % 2 == 0:
+            w, h = int(rng.integers(16, 48)), int(rng.integers(16, 48))
+            pix = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            rows.append(
+                (i, "image", bytearray(pack_bmp(pix)), (w, h, None, None))
+            )
+        else:
+            rate = int(rng.choice([8000, 16000, 44100]))
+            n_s = int(rng.integers(200, 2000))
+            ch = int(rng.choice([1, 2]))
+            pcm = rng.integers(-(2 ** 15), 2 ** 15, (n_s, ch)).astype(
+                np.int16
+            )
+            rows.append(
+                (i, "audio", bytearray(pack_wav(pcm, rate)),
+                 (None, None, rate, n_s))
+            )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
 def fake_media_corpus(spark, n: int = 64, seed: int = 42) -> DataFrame:

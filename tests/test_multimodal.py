@@ -1,23 +1,59 @@
 """Multimodal plumbing: schema, metadata pass, batched decode→feature
-pipeline over the deterministic fake container; the real-codec hook
-raises NotImplementedError for unknown formats."""
+pipelines. Uncompressed containers (24-bit BMP, RIFF/WAVE PCM-16)
+decode for REAL via pure-struct codecs; compressed formats raise the
+documented NotImplementedError hook."""
 
 from __future__ import annotations
 
+import numpy as np
 import pytest
 
 from dedup.multimodal import (
+    audio_features,
+    decode_audio,
     decode_image,
     extract_media_meta,
     fake_media_corpus,
     image_features,
+    pack_bmp,
     pack_fake_media,
+    pack_wav,
+    real_media_corpus,
 )
 
 
-def test_real_codec_hook_is_stubbed():
+def test_compressed_codec_hook_is_stubbed():
     with pytest.raises(NotImplementedError):
         decode_image(b"\xff\xd8\xff\xe0 not actually decodable jpeg")
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"OggS not actually decodable vorbis")
+
+
+def test_bmp_roundtrip_bit_exact():
+    rng = np.random.default_rng(3)
+    for w in (16, 17, 33):  # odd widths exercise the 4-byte row padding
+        pix = rng.integers(0, 256, (21, w, 3), dtype=np.uint8)
+        assert np.array_equal(decode_image(pack_bmp(pix)), pix)
+    gray = rng.integers(0, 256, (10, 13), dtype=np.uint8)
+    assert np.array_equal(
+        decode_image(pack_bmp(gray)), np.repeat(gray[:, :, None], 3, axis=2)
+    )
+
+
+def test_bmp_unsupported_depth_raises():
+    bad = bytearray(pack_bmp(np.zeros((4, 4), dtype=np.uint8)))
+    bad[28] = 8  # bpp 24 → 8
+    with pytest.raises(NotImplementedError):
+        decode_image(bytes(bad))
+
+
+def test_wav_roundtrip_bit_exact():
+    rng = np.random.default_rng(4)
+    for ch in (1, 2):
+        pcm = rng.integers(-32768, 32768, (777, ch)).astype(np.int16)
+        frames, rate = decode_audio(pack_wav(pcm, 44100))
+        assert rate == 44100
+        assert np.array_equal(frames, pcm)
 
 
 def test_fake_decode_roundtrip():
@@ -50,3 +86,71 @@ def test_image_feature_pipeline(spark):
     assert {r["media_id"]: r["feature"] for r in feats} == {
         r["media_id"]: r["feature"] for r in feats2
     }
+
+
+def test_real_container_metadata_pass(spark):
+    """Header-only probe over REAL BMP/WAV bytes: dims and audio params
+    come back exactly as packed, without decoding any frames."""
+    media = real_media_corpus(spark, n=20)
+    meta = {r["media_id"]: r for r in extract_media_meta(media).collect()}
+    declared = {r["media_id"]: r for r in media.select(
+        "media_id", "kind", "meta").collect()}
+    assert len(meta) == 20
+    for mid, r in meta.items():
+        d = declared[mid]
+        assert r["kind_parsed"] == d["kind"]
+        if d["kind"] == "image":
+            assert (r["width"], r["height"]) == (
+                d["meta"]["width"], d["meta"]["height"]
+            )
+        else:
+            assert r["sample_rate"] == d["meta"]["sample_rate"]
+            assert r["n_frames"] == d["meta"]["n_frames"]
+
+
+def test_real_image_features_match_local(spark):
+    """Distributed decode→feature over real BMPs == the same numpy
+    pipeline run locally on the source pixel arrays."""
+    rng = np.random.default_rng(11)
+    pix = rng.integers(0, 256, (24, 31, 3), dtype=np.uint8)
+    from dedup.multimodal import MEDIA_SCHEMA
+
+    media = spark.createDataFrame(
+        [(0, "image", bytearray(pack_bmp(pix)), (31, 24, None, None))],
+        MEDIA_SCHEMA,
+    )
+    (row,) = image_features(media, thumb=8).collect()
+    luma = pix.mean(axis=2)
+    ys = np.linspace(0, 23, 8).astype(int)
+    xs = np.linspace(0, 30, 8).astype(int)
+    want = (luma[np.ix_(ys, xs)].astype(np.float32) / 255.0).ravel()
+    assert np.allclose(row["feature"], want)
+
+
+def test_real_audio_features(spark):
+    """RMS windows over real WAV PCM: a loud half and a silent half
+    produce high-then-zero window energies, and counts round-trip."""
+    rate, n = 16000, 1600
+    loud = (np.sin(np.linspace(0, 40 * np.pi, n // 2)) * 20000).astype(
+        np.int16
+    )
+    pcm = np.concatenate([loud, np.zeros(n // 2, dtype=np.int16)])
+    from dedup.multimodal import MEDIA_SCHEMA
+
+    media = spark.createDataFrame(
+        [(0, "audio", bytearray(pack_wav(pcm, rate)),
+          (None, None, rate, n))],
+        MEDIA_SCHEMA,
+    )
+    (row,) = audio_features(media, n_windows=4).collect()
+    assert row["sample_rate"] == rate and row["n_samples"] == n
+    rms = row["rms"]
+    assert len(rms) == 4
+    assert rms[0] > 0.3 and rms[1] > 0.3   # loud half
+    assert rms[2] == 0.0 and rms[3] == 0.0  # silent half
+    # compressed payloads are skipped, not fatal
+    bad = spark.createDataFrame(
+        [(1, "audio", bytearray(b"OggS opus bytes"), (None,) * 4)],
+        MEDIA_SCHEMA,
+    )
+    assert audio_features(bad).count() == 0
