@@ -193,19 +193,24 @@ def _probe_header(
     HEADER only — no pixel/frame decode, O(header bytes) per row."""
     if payload is None:
         return None, None, None, None, None
-    if payload[:2] == b"BM" and len(payload) > 54:
-        _size, w, h, *_ = struct.unpack_from("<IiiHHI", payload, 14)
-        return "image", int(w), abs(int(h)), None, None
-    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
-        chunks = _wav_chunks(payload)
-        if b"fmt " in chunks:
-            fo, _ = chunks[b"fmt "]
-            _f, ch, rate, _br, _ba, _b = struct.unpack_from(
-                "<HHIIHH", payload, fo
-            )
-            n = chunks[b"data"][1] // (2 * max(ch, 1)) \
-                if b"data" in chunks else None
-            return "audio", None, None, int(rate), n
+    try:
+        if payload[:2] == b"BM" and len(payload) > 54:
+            _size, w, h, *_ = struct.unpack_from("<IiiHHI", payload, 14)
+            return "image", int(w), abs(int(h)), None, None
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            chunks = _wav_chunks(payload)
+            if b"fmt " in chunks:
+                fo, _ = chunks[b"fmt "]
+                _f, ch, rate, _br, _ba, _b = struct.unpack_from(
+                    "<HHIIHH", payload, fo
+                )
+                n = chunks[b"data"][1] // (2 * max(ch, 1)) \
+                    if b"data" in chunks else None
+                return "audio", None, None, int(rate), n
+    except struct.error:
+        # magic matched but the header is truncated/corrupt — null
+        # metadata, never an exception (a bad row must not kill a scan)
+        return None, None, None, None, None
     hdr = _parse_header(payload)
     if hdr is not None:
         kind, w, h = hdr
@@ -263,7 +268,9 @@ def image_features(media: DataFrame, thumb: int = 8) -> DataFrame:
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 try:
                     pix = decode_image(payload)
-                except NotImplementedError:
+                except (NotImplementedError, ValueError, struct.error):
+                    # no codec / truncated or lying header: skip the
+                    # row — a corrupt payload must not kill the scan
                     continue
                 if pix.ndim == 3:  # real RGB decode → luma
                     pix = pix.mean(axis=2)
@@ -292,8 +299,8 @@ def audio_features(media: DataFrame, n_windows: int = 8) -> DataFrame:
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 try:
                     frames, rate = decode_audio(payload)
-                except NotImplementedError:
-                    continue
+                except (NotImplementedError, ValueError, struct.error):
+                    continue  # same corrupt-row policy as image_features
                 mono = frames.astype(np.float32).mean(axis=1) / 32768.0
                 n = len(mono)
                 if n == 0:

@@ -162,3 +162,95 @@ def test_suffix_kernel_equals_bruteforce_gram_sharing(texts, min_lcp):
             if grams[a] & grams[b]:
                 expected.add((a, b))
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# media codecs (dedup/multimodal.py): round-trip identity + corrupt-input
+# totality — the 100-TB policy is "a bad payload never kills a scan", so
+# decode must either return, raise NotImplementedError, or raise
+# ValueError/struct.error (the types the feature fns catch), never
+# anything else, on ARBITRARY bytes.
+# ---------------------------------------------------------------------------
+
+from dedup.multimodal import (  # noqa: E402
+    _probe_header,
+    decode_audio,
+    decode_image,
+    pack_bmp,
+    pack_wav,
+)
+
+
+@given(
+    st.integers(1, 40),
+    st.integers(1, 40),
+    st.integers(0, 2 ** 32 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_bmp_roundtrip_property(w, h, seed):
+    pix = np.random.default_rng(seed).integers(
+        0, 256, (h, w, 3), dtype=np.uint8
+    )
+    payload = pack_bmp(pix)
+    assert np.array_equal(decode_image(payload), pix)
+    kind, pw, ph, _sr, _nf = _probe_header(payload)
+    assert (kind, pw, ph) == ("image", w, h)
+
+
+@given(
+    st.integers(0, 500),
+    st.integers(1, 2),
+    st.sampled_from([8000, 16000, 44100]),
+    st.integers(0, 2 ** 32 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_wav_roundtrip_property(n, ch, rate, seed):
+    pcm = np.random.default_rng(seed).integers(
+        -(2 ** 15), 2 ** 15, (n, ch)
+    ).astype(np.int16)
+    frames, got_rate = decode_audio(pack_wav(pcm, rate))
+    assert got_rate == rate
+    assert np.array_equal(frames, pcm)
+    kind, _w, _h, sr, nf = _probe_header(pack_wav(pcm, rate))
+    assert (kind, sr, nf) == ("audio", rate, n)
+
+
+@given(st.binary(min_size=0, max_size=300))
+@settings(max_examples=300, deadline=None)
+def test_codecs_total_on_arbitrary_bytes(payload):
+    import struct as _struct
+
+    for fn in (decode_image, decode_audio):
+        try:
+            fn(payload)
+        except (NotImplementedError, ValueError, _struct.error):
+            pass  # the allowed failure modes (feature fns catch these)
+    # the header probe NEVER raises — nulls on anything unparseable
+    _probe_header(payload)
+
+
+@given(st.binary(min_size=0, max_size=300), st.integers(0, 2 ** 32 - 1))
+@settings(max_examples=200, deadline=None)
+def test_codecs_total_on_truncated_real_containers(tail, seed):
+    """Adversarial: REAL container magic followed by truncation/garbage
+    — the case arbitrary bytes almost never hit by chance."""
+    import struct as _struct
+
+    rng = np.random.default_rng(seed)
+    real_bmp = pack_bmp(rng.integers(0, 256, (9, 9, 3), dtype=np.uint8))
+    real_wav = pack_wav(
+        rng.integers(-100, 100, (50, 1)).astype(np.int16), 8000
+    )
+    cut = int(rng.integers(0, 60))
+    for payload in (
+        real_bmp[:cut] + tail,
+        real_wav[:cut] + tail,
+        b"BM" + tail,
+        b"RIFF" + tail[:4] + b"WAVE" + tail,
+    ):
+        for fn in (decode_image, decode_audio):
+            try:
+                fn(payload)
+            except (NotImplementedError, ValueError, _struct.error):
+                pass
+        _probe_header(payload)
