@@ -338,6 +338,72 @@ def audio_features(media: DataFrame, n_windows: int = 8) -> DataFrame:
     )
 
 
+def decode_video_frames(
+    payload: bytes, n_frames: int | None = None
+) -> np.ndarray:
+    """Video decode for the deterministic raw container: the FAKE body
+    is a stack of w×h grayscale frames ((n, h, w) uint8; trailing
+    partial frame dropped). Real video codecs (H.264/VP9) raise
+    NotImplementedError — extend the dispatch with PyAV/ffmpeg on the
+    cluster image."""
+    hdr = _parse_header(payload)
+    if hdr is None or hdr[0] != "video":
+        raise NotImplementedError(
+            "compressed video codecs are not available in this container; "
+            "extend decode_video_frames's dispatch on the cluster image"
+        )
+    _kind, w, h = hdr
+    body = np.frombuffer(payload[13:], dtype=np.uint8)
+    per = w * h
+    n = len(body) // per if per else 0
+    frames = body[: n * per].reshape(n, h, w)
+    if n_frames is not None and n > 0:
+        # deterministic uniform frame sample (first/last included)
+        idx = np.linspace(0, n - 1, min(n_frames, n)).astype(int)
+        frames = frames[idx]
+    return frames
+
+
+def video_frame_features(
+    media: DataFrame, n_sample: int = 4, thumb: int = 8
+) -> DataFrame:
+    """Frame-sample → per-frame thumbnail features, batched via
+    mapInPandas: uniformly sample n_sample frames per video and emit
+    one (media_id, frame_idx, feature) row per sampled frame — the
+    video analog of image_features, exploded so downstream dedup can
+    treat frames as documents."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, feats = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    frames = decode_video_frames(payload, n_frames=n_sample)
+                except (NotImplementedError, ValueError, struct.error):
+                    continue  # same corrupt-row policy as the others
+                for j, frame in enumerate(frames):
+                    h, w = frame.shape
+                    ys = np.linspace(0, h - 1, thumb).astype(int)
+                    xs = np.linspace(0, w - 1, thumb).astype(int)
+                    small = frame[np.ix_(ys, xs)].astype(np.float32) / 255.0
+                    ids.append(mid)
+                    idxs.append(j)
+                    feats.append(small.ravel().tolist())
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "frame_idx": pd.array(idxs, dtype="Int32"),
+                    "feature": pd.Series(feats, dtype="object"),
+                }
+            )
+
+    return media.filter(F.col("kind") == "video").select(
+        "media_id", "payload"
+    ).mapInPandas(
+        gen, schema="media_id long, frame_idx int, feature array<float>"
+    )
+
+
 def real_media_corpus(spark, n: int = 48, seed: int = 7) -> DataFrame:
     """Deterministic corpus of REAL containers — 24-bit BMPs and PCM-16
     WAVs written by this module's own struct packers — so the decode →

@@ -154,3 +154,35 @@ def test_real_audio_features(spark):
         MEDIA_SCHEMA,
     )
     assert audio_features(bad).count() == 0
+
+
+def test_video_frame_sample(spark):
+    """Uniform frame sampling over the raw-frame container: 10 packed
+    frames sampled to 4 → indices 0,3,6,9 of the source stack; feature
+    rows match the local per-frame thumbnail pipeline."""
+    from dedup.multimodal import (
+        MEDIA_SCHEMA,
+        decode_video_frames,
+        video_frame_features,
+    )
+
+    rng = np.random.default_rng(5)
+    w, h, nf = 20, 12, 10
+    frames = rng.integers(0, 256, (nf, h, w), dtype=np.uint8)
+    payload = pack_fake_media("video", w, h, frames.tobytes())
+    picked = decode_video_frames(payload, n_frames=4)
+    assert np.array_equal(picked, frames[[0, 3, 6, 9]])
+
+    media = spark.createDataFrame(
+        [(0, "video", bytearray(payload), (w, h, None, nf)),
+         (1, "video", bytearray(b"\x00\x00\x01\xba mpeg-ps"), (None,) * 4)],
+        MEDIA_SCHEMA,
+    )
+    rows = video_frame_features(media, n_sample=4, thumb=8).collect()
+    assert len(rows) == 4  # compressed payload skipped, not fatal
+    ys = np.linspace(0, h - 1, 8).astype(int)
+    xs = np.linspace(0, w - 1, 8).astype(int)
+    for r in rows:
+        want = (frames[[0, 3, 6, 9][r["frame_idx"]]][np.ix_(ys, xs)]
+                .astype(np.float32) / 255.0).ravel()
+        assert np.allclose(r["feature"], want)
