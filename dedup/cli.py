@@ -258,6 +258,7 @@ def _run_streaming(
             name, spark.read.parquet(f"{args.output}/{name}"),
             histogram=(name == "assignments"),
         )
+    res.release()
 
     wall = time.time() - t0
     n_docs = metrics.records[2]["rows_out"]  # assignments = stored urls

@@ -72,7 +72,13 @@ def brute_force_topk(
     scored = joined.select(
         "q_id",
         "vec_id",
-        F.floor(cosine * 1000000).cast("long").alias("cosine_micro"),
+        # zero-norm guard: same semantics as cosine_micro_batch (0/0
+        # would be NaN, which ANSI-mode cast-to-long rejects)
+        F.when(
+            (F.col("q_n2") == 0) | (F.col("v_n2") == 0), F.lit(0).cast("long")
+        ).otherwise(
+            F.floor(cosine * 1000000).cast("long")
+        ).alias("cosine_micro"),
     )
     w = Window.partitionBy("q_id").orderBy(
         F.col("cosine_micro").desc(), F.col("vec_id").asc()
@@ -255,7 +261,15 @@ def hyperplane_keys_batch(
     the spec expression measured ~2.5 ms/row at dim 64, which is the
     wrong cost model for a 10⁹-vector corpus."""
     spark = embeddings.sparkSession
-    dim = embeddings.select(F.size("embedding")).first()[0]
+    first = embeddings.select(F.size("embedding")).first()
+    if first is None or first[0] is None or first[0] <= 0:
+        # empty corpus / null first embedding: no buckets, not a crash
+        # (the declarative path this replaced degraded the same way;
+        # the IVF sibling has the same contract)
+        return spark.createDataFrame(
+            [], "vec_id long, tbl int, bucket long"
+        )
+    dim = first[0]
     wall = np.vstack(
         [_plane_matrix(spark, dim, n_planes, s) for s in seeds]
     )  # (n_tables·n_planes, dim)
@@ -392,10 +406,13 @@ def cosine_micro_batch() -> Column:
         a = np.vstack(q.to_numpy()).astype(np.int64, copy=False)
         b = np.vstack(v.to_numpy()).astype(np.int64, copy=False)
         dots = np.einsum("ij,ij->i", a, b).astype(np.float64)
-        cos = dots / (
+        den = (
             np.sqrt(q_n2.to_numpy().astype(np.float64))
             * np.sqrt(v_n2.to_numpy().astype(np.float64))
         )
+        # zero-norm vector (empty doc): cosine defined as 0 — 0/0 would
+        # be NaN, whose int64 cast is platform-undefined
+        cos = np.divide(dots, den, out=np.zeros_like(dots), where=den > 0)
         return pd.Series(np.floor(cos * 1000000.0).astype(np.int64))
 
     return _cos

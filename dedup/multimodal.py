@@ -47,6 +47,8 @@ def pack_fake_media(kind: str, width: int, height: int, body: bytes) -> bytes:
 def _parse_header(payload: bytes) -> tuple[str, int, int] | None:
     if payload is None or len(payload) < 13 or payload[:4] != _MAGIC:
         return None
+    if payload[4] > 2:  # corrupt kind byte: unparseable, not an error
+        return None
     kind = ["image", "audio", "video"][payload[4]]
     w, h = struct.unpack("<II", payload[5:13])
     return kind, w, h
@@ -89,6 +91,8 @@ def _decode_bmp(payload: bytes) -> np.ndarray:
             f"(got bpp={bpp}, compression={comp}); compressed formats "
             "need a real codec on the cluster image"
         )
+    if w <= 0 or h_signed == 0:  # lying header: zero/negative dims
+        raise ValueError(f"corrupt BMP dims {w}x{h_signed}")
     h = abs(h_signed)
     stride = (w * 3 + 3) & ~3
     rows = np.frombuffer(payload, dtype=np.uint8, count=h * stride,
@@ -162,6 +166,8 @@ def decode_image(payload: bytes) -> np.ndarray:
             "decode_image's dispatch"
         )
     _kind, w, h = hdr
+    if w == 0 or h == 0:  # zero-dim image: no pixels to decode
+        raise ValueError(f"corrupt fake-container dims {w}x{h}")
     body = np.frombuffer(payload[13:], dtype=np.uint8)
     pix = np.resize(body, (h, w))  # deterministic fake "decode"
     return pix
@@ -268,19 +274,27 @@ def image_features(media: DataFrame, thumb: int = 8) -> DataFrame:
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 try:
                     pix = decode_image(payload)
-                except (NotImplementedError, ValueError, struct.error):
+                    if pix.ndim == 3:  # real RGB decode → luma
+                        pix = pix.mean(axis=2)
+                    h, w = pix.shape
+                    ys = np.linspace(0, h - 1, thumb).astype(int)
+                    xs = np.linspace(0, w - 1, thumb).astype(int)
+                    small = pix[np.ix_(ys, xs)].astype(np.float32) / 255.0
+                except (NotImplementedError, ValueError, struct.error,
+                        IndexError):
                     # no codec / truncated or lying header: skip the
                     # row — a corrupt payload must not kill the scan
                     continue
-                if pix.ndim == 3:  # real RGB decode → luma
-                    pix = pix.mean(axis=2)
-                h, w = pix.shape
-                ys = np.linspace(0, h - 1, thumb).astype(int)
-                xs = np.linspace(0, w - 1, thumb).astype(int)
-                small = pix[np.ix_(ys, xs)].astype(np.float32) / 255.0
                 ids.append(mid)
                 feats.append(small.ravel().tolist())
-            yield pd.DataFrame({"media_id": ids, "feature": feats})
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    # object dtype: an EMPTY default column reaches Arrow
+                    # as float64, which cannot convert to list<float>
+                    "feature": pd.Series(feats, dtype="object"),
+                }
+            )
 
     return media.filter(F.col("kind") == "image").select(
         "media_id", "payload"
@@ -299,7 +313,8 @@ def audio_features(media: DataFrame, n_windows: int = 8) -> DataFrame:
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 try:
                     frames, rate = decode_audio(payload)
-                except (NotImplementedError, ValueError, struct.error):
+                except (NotImplementedError, ValueError, struct.error,
+                        IndexError):
                     continue  # same corrupt-row policy as image_features
                 mono = frames.astype(np.float32).mean(axis=1) / 32768.0
                 n = len(mono)
@@ -379,16 +394,23 @@ def video_frame_features(
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 try:
                     frames = decode_video_frames(payload, n_frames=n_sample)
-                except (NotImplementedError, ValueError, struct.error):
+                    rows = []
+                    for j, frame in enumerate(frames):
+                        h, w = frame.shape
+                        if h == 0 or w == 0:
+                            raise ValueError("zero-dim frame")
+                        ys = np.linspace(0, h - 1, thumb).astype(int)
+                        xs = np.linspace(0, w - 1, thumb).astype(int)
+                        small = (frame[np.ix_(ys, xs)]
+                                 .astype(np.float32) / 255.0)
+                        rows.append((j, small.ravel().tolist()))
+                except (NotImplementedError, ValueError, struct.error,
+                        IndexError):
                     continue  # same corrupt-row policy as the others
-                for j, frame in enumerate(frames):
-                    h, w = frame.shape
-                    ys = np.linspace(0, h - 1, thumb).astype(int)
-                    xs = np.linspace(0, w - 1, thumb).astype(int)
-                    small = frame[np.ix_(ys, xs)].astype(np.float32) / 255.0
+                for j, feat in rows:
                     ids.append(mid)
                     idxs.append(j)
-                    feats.append(small.ravel().tolist())
+                    feats.append(feat)
             yield pd.DataFrame(
                 {
                     "media_id": ids,

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from dedup.config import DedupConfig
@@ -203,6 +204,16 @@ class StreamingDedupResult:
     assignments: DataFrame  # (url, cluster_id) for every stored url
     survivors: DataFrame    # one preferred record per cluster
     rejected: DataFrame     # both-authorized clusters routed to reject
+    cached: tuple = ()      # frames the tail persisted (release() owns)
+
+    def release(self) -> None:
+        """Unpersist every cache the tail pinned (same contract as
+        DedupResult.release)."""
+        for df in self.cached:
+            try:
+                df.unpersist()
+            except Exception:  # session already stopped
+                pass
 
 
 def start_streaming_stores(
@@ -326,10 +337,17 @@ def streaming_verify_tail(
         rule_columns=rule_columns or None,
         count_columns=count_columns or None,
     )
+    # three consumers (the caller's pairs write, verified_edges, and
+    # anything reading reasons) share a chain that re-runs the shingle
+    # pandas UDF + both feature joins per consumer — the batch rule:
+    # persist iff recompute crosses a python UDF
+    pairs = pairs.persist()
     edges = verified_edges(pairs, cfg, "stream")
     slim = edges.select("url_a", "url_b").distinct().localCheckpoint(eager=True)
     assign = connected_components(slim, n_edges=slim.count())
     assign = assignments_with_singletons(assign, pages_store.select("url"))
+    # two consumers (assignments write + the members join below)
+    assign = assign.persist()
     # survivor tail, batch-ordered (run_dedup's exact sequence): the
     # stream works on real urls throughout, so no uid/label remap is
     # needed — feats already carries everything select_survivors reads
@@ -340,11 +358,15 @@ def streaming_verify_tail(
     )
     survivors = reprint_notes(members, survivors)
     survivors = apply_authorized_override(survivors, members, authorized_names)
+    # survivors/rejected are two filters of this frame; unpersisted,
+    # each write re-runs the whole survivor window + override chain
+    survivors = survivors.persist()
     rejected = survivors.filter(F.col("reject_reason").isNotNull())
-    survivors = survivors.filter(F.col("reject_reason").isNull())
+    kept = survivors.filter(F.col("reject_reason").isNull())
     return StreamingDedupResult(
         pairs=pairs, edges=edges, assignments=assign,
-        survivors=survivors, rejected=rejected,
+        survivors=kept, rejected=rejected,
+        cached=(pairs, assign, survivors),
     )
 
 
@@ -381,9 +403,15 @@ def run_streaming_dedup(
     pages_store = spark.read.parquet(f"{work_dir}/pages")
     try:
         candidate_pairs = spark.read.parquet(f"{work_dir}/pairs")
-    except Exception:
-        # zero candidates emitted → the parquet sink wrote no files;
-        # every stored url is its own cluster
+    except AnalysisException as e:
+        # ONLY the two "sink wrote no files" shapes may degrade to zero
+        # candidates (missing dir / metadata-only dir with no schema);
+        # any other read failure (corrupt footer, permissions) must
+        # surface — swallowing it would silently pass duplicates
+        code = getattr(e, "getErrorClass", lambda: None)() or str(e)
+        if not ("PATH_NOT_FOUND" in str(code)
+                or "UNABLE_TO_INFER_SCHEMA" in str(code)):
+            raise
         candidate_pairs = spark.createDataFrame(
             [], "url_a string, url_b string, est_jaccard double"
         )

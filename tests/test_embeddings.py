@@ -202,6 +202,39 @@ def test_ivf_empty_corpus_degrades_gracefully(spark):
     assert ivf_topk(empty, k=3).count() == 0
 
 
+def test_lsh_empty_corpus_degrades_gracefully(spark):
+    """Same contract as IVF: zero embedding rows → zero buckets and
+    zero pairs, not a driver crash on first()."""
+    from dedup.embeddings import lsh_bucketed_topk
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert lsh_bucketed_topk(empty, k=3).count() == 0
+
+
+def test_zero_norm_vector_cosine_is_zero(spark):
+    """A zero-norm embedding (empty doc) must score cosine_micro 0 in
+    BOTH cosine paths — 0/0 would be NaN, whose long cast is ANSI-fatal
+    declaratively and platform-undefined in numpy."""
+    from dedup.embeddings import brute_force_topk, lsh_bucketed_topk
+    import numpy as np
+
+    rows = [(0, [0.0] * 8), (1, [1.0] * 8), (2, [0.9] * 8)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = np.array([[0.0] * 8, [1.0] * 8])
+    # declarative path: zero query against nonzero corpus and vice versa
+    got = {(r["q_id"], r["vec_id"]): r["cosine_micro"]
+           for r in brute_force_topk(emb, emb.selectExpr(
+               "vec_id as q_id", "embedding as q_emb"), k=3).collect()}
+    assert got[(0, 1)] == 0 and got[(1, 0)] == 0  # zero side → 0
+    assert got[(1, 2)] > 990000                   # near-parallel pair
+    # Arrow einsum path (exact re-rank tail inside the LSH channel)
+    pairs = {(r["q_id"], r["vec_id"]): r["cosine_micro"]
+             for r in lsh_bucketed_topk(emb, k=3).collect()}
+    for (a, b), c in pairs.items():
+        if 0 in (a, b):
+            assert c == 0, (a, b, c)
+
+
 def test_hyperplane_batch_keys_bit_equal_spec(emb):
     """The Arrow+BLAS bucket-key pass must be BIT-IDENTICAL to the
     declarative hyperplane_bucket spec expression — both sides run the

@@ -186,3 +186,33 @@ def test_video_frame_sample(spark):
         want = (frames[[0, 3, 6, 9][r["frame_idx"]]][np.ix_(ys, xs)]
                 .astype(np.float32) / 255.0).ravel()
         assert np.allclose(r["feature"], want)
+
+
+def test_corrupt_headers_never_kill_scans(spark):
+    """The review adversary: zero-dim BMP/fake headers and an
+    out-of-range fake kind byte must yield null metadata and zero
+    feature rows — never a task failure."""
+    import struct as _struct
+
+    from dedup.multimodal import MEDIA_SCHEMA, video_frame_features
+
+    zero_w_bmp = bytearray(pack_bmp(np.zeros((4, 4), dtype=np.uint8)))
+    _struct.pack_into("<i", zero_w_bmp, 18, 0)  # width := 0
+    zero_dim_fake = pack_fake_media("image", 0, 7, b"xx")
+    bad_kind = bytearray(pack_fake_media("image", 4, 4, b"body"))
+    bad_kind[4] = 7
+    rows = [
+        (0, "image", zero_w_bmp, (None,) * 4),
+        (1, "image", bytearray(zero_dim_fake), (None,) * 4),
+        (2, "image", bytes(bad_kind), (None,) * 4),
+        (3, "audio", bytes(bad_kind), (None,) * 4),
+        (4, "video", bytes(bad_kind), (None,) * 4),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    meta = extract_media_meta(media).collect()
+    assert len(meta) == 5  # the scan survives every row
+    by_id = {r["media_id"]: r for r in meta}
+    assert by_id[2]["kind_parsed"] is None  # kind byte 7 → unparseable
+    assert image_features(media).count() == 0
+    assert audio_features(media).count() == 0
+    assert video_frame_features(media).count() == 0
