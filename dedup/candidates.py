@@ -34,14 +34,49 @@ from dedup.hashing import h60
 
 def exact_groups(pages_with_norm: DataFrame, cfg: DedupConfig) -> DataFrame:
     """(url, text_hash, rep_url): representative = min(url) per identical
-    normalized text. Exact-dup edges fall out as rep_url != url rows."""
+    normalized text. Exact-dup edges fall out as rep_url != url rows.
+
+    Key design (100-TB robustness):
+    * a doc whose NORMALIZED text is empty (every char outside the
+      normalizer's [a-z0-9åäö] alphabet — CJK/Cyrillic/punctuation-only
+      pages) falls back to its RAW text: grouping empty norms together
+      would fuse every such same-lang page into one "exact" family with
+      a forced jaccard of 1.0. The two key domains are prefix-tagged so
+      a raw text can never collide with a normalized one.
+    * the key LENGTH rides along as a second group column: a 64-bit
+      hash collision between different texts would otherwise verify at
+      jaccard 1.0 forever (the rep mapping substitutes the rep's
+      shingles for both sides, so no downstream check can see it);
+      equal length is a free narrow second factor, and uid_bits=128
+      upgrades the hash itself to a 128-bit md5 digest (the same
+      escape hatch the surrogate ids use).
+    """
+    cols = pages_with_norm.columns
+    if "text" in cols:  # spec/test callers that kept the raw column
+        raw_part = F.coalesce(F.col("text"), F.lit(""))
+    elif "raw_hash" in cols:  # production narrow clean (prepare_clean)
+        raw_part = F.col("raw_hash").cast("string")
+    else:  # no raw signal at all: empty-norm docs stay singletons
+        raw_part = F.col("url").cast("string")
+    key = F.when(
+        F.length("norm_text") > 0,
+        F.concat(F.lit("n:"), F.col("norm_text")),
+    ).otherwise(F.concat(F.lit("r:"), raw_part))
     if cfg.hash_mode == "portable":
-        th = h60(F.col("norm_text"))
+        th = h60(key)
+    elif cfg.uid_bits == 128:
+        th = F.unhex(F.md5(key))
     else:
-        th = F.xxhash64(F.col("norm_text"))
-    hashed = pages_with_norm.select("url", th.alias("text_hash"))
-    reps = hashed.groupBy("text_hash").agg(F.min("url").alias("rep_url"))
-    return hashed.join(reps, "text_hash")
+        th = F.xxhash64(key)
+    hashed = pages_with_norm.select(
+        "url", th.alias("text_hash"), F.length(key).alias("_key_len")
+    )
+    reps = hashed.groupBy("text_hash", "_key_len").agg(
+        F.min("url").alias("rep_url")
+    )
+    return hashed.join(reps, ["text_hash", "_key_len"]).select(
+        "url", "text_hash", "rep_url"
+    )
 
 
 def exact_edges(groups: DataFrame) -> DataFrame:
@@ -163,6 +198,6 @@ def lsh_candidates(
     """Candidate pairs from exploded LSH bands (url, band_idx, band_key)."""
     return pairs_from_buckets(
         bands, ["band_idx", "band_key"], cfg,
-        min_collisions=cfg.min_band_collisions,
+        min_collisions=cfg.effective_min_band_collisions,
         cache_registry=cache_registry,
     )

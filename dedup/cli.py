@@ -18,6 +18,7 @@ import json
 import os
 import sys
 import time
+from datetime import datetime, timezone
 
 # allow `python dedup/cli.py` / `spark-submit dedup/cli.py` from anywhere;
 # drop the script dir itself so package modules can't shadow stdlib names
@@ -175,6 +176,9 @@ def main(argv: list[str] | None = None) -> int:
         candidate_channels=cand_channels,
         bypass_jaccard_channels=bypass_channels,
         run_id=args.run_id,
+        # real wall-clock audit timestamp (tests inject a fixed one;
+        # the default epoch value must never reach production lineage)
+        run_ts=datetime.now(timezone.utc).isoformat(timespec="seconds"),
         persist_pairs=True,  # stat-parity counters read pair columns
         clean=clean,
     )
@@ -245,6 +249,7 @@ def _run_streaming(
         state_cap=args.state_cap,
         state_ttl_ms=args.state_ttl_ms,
         run_id=args.run_id,
+        run_ts=datetime.now(timezone.utc).isoformat(timespec="seconds"),
     )
     for name, df in (
         ("pairs", res.pairs),

@@ -187,3 +187,14 @@ class DedupConfig:
             if self.hash_mode == "fast"
             else self.portable_rows_per_band
         )
+
+    @property
+    def effective_min_band_collisions(self) -> int:
+        """The default prune (2) is calibrated for the fast mode's 16
+        bands (see the Binomial math at the field); with the portable
+        mode's 4 bands the same prune drops ~46% of true J=0.8 pairs
+        (P[Binom(4, 0.41) ≥ 2] ≈ 0.54), so few-band configs fall back
+        to no pruning rather than silently halving recall."""
+        if self.effective_bands < 8:
+            return min(self.min_band_collisions, 1)
+        return self.min_band_collisions

@@ -24,7 +24,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F, types as T
 
 from dedup.config import DedupConfig
-from dedup.hashing import h60, minhash_rows, perm_seeds
+from dedup.hashing import h60, perm_seeds
 from dedup.normalize import normalize_text
 
 

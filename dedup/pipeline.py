@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 from dedup.candidates import (
     exact_edges,
@@ -87,6 +87,10 @@ def prepare_clean(pages: DataFrame) -> DataFrame:
     from it instead of caching wide arrays."""
     clean = quarantine_filter(with_normalized(pages))
     clean = clean.withColumn("text_len", F.length("text"))
+    # 8-byte stand-in for the raw text after the drop: the exact channel
+    # needs a raw-equality fallback for docs whose NORMALIZED text is
+    # empty (see candidates.exact_groups)
+    clean = clean.withColumn("raw_hash", F.xxhash64("text"))
     return clean.drop(*[c for c in ("html", "text") if c in clean.columns])
 
 
@@ -251,11 +255,21 @@ def run_dedup(
                 "surrogates; rerun with a 128-bit surrogate key"
             )
 
+    # degenerate docs — normalized text shorter than one shingle (CJK/
+    # punctuation-only pages normalize to '' under the [a-z0-9åäö]
+    # alphabet) — have an EMPTY shingle set, so their MinHash signature
+    # is the same constant for every such doc: banding them would pair
+    # every degenerate page with every other at estimate 1.0. They are
+    # excluded from the LSH channel and can only merge through the
+    # exact channel's raw-equality fallback (see candidates.exact_groups)
+    bandable = rep_pages.filter(
+        F.length("norm_text") >= F.lit(cfg.k_shingle)
+    ).select("url")
     # bands stays UNPERSISTED: its three consumers inside
     # pairs_from_buckets produce identical exchange subtrees that Spark
     # reuses (ReusedExchange); a cache here was measured to break that
     # reuse and re-shuffle per consumer
-    bands = explode_bands(sigs, cfg)
+    bands = explode_bands(sigs.join(bandable, "url"), cfg)
     raw_candidates, hot = lsh_candidates(bands, cfg, cache_registry=cached)
 
     # exact-dup pairs join the same verification path (the reference
@@ -266,7 +280,13 @@ def run_dedup(
         all_candidates = all_candidates.unionByName(to_uid_pairs(ch))
     all_candidates = all_candidates.distinct()
 
-    feats = url_features(kpages, None).drop("sources")
+    # configured rule/count columns outside the built-in optional set
+    # must ride the feature table, or pair_reasons would reference
+    # a_/b_ columns that were never attached (plan-time failure)
+    gate_cols = tuple(sorted(
+        set(cfg.field_rules) | set(cfg.count_fields)
+    ))
+    feats = url_features(kpages, None, extra_cols=gate_cols).drop("sources")
     if sources is not None:
         feats = feats.join(_uid_sources(sources, ids), "url", "left")
         feats = feats.withColumn(
@@ -300,7 +320,7 @@ def run_dedup(
         all_candidates, rep_pages, groups, cfg, persist=persist,
         cache_registry=cached,
     )
-    pairs = attach_features(with_j, feats)
+    pairs = _orient_by_real_url(attach_features(with_j, feats))
     uid_hosts = (
         host_ids.join(
             ids, host_ids.url == ids.real_url
@@ -338,7 +358,7 @@ def run_dedup(
         bypass = to_uid_pairs(bypass_jaccard_channels[0])
         for ch in bypass_jaccard_channels[1:]:
             bypass = bypass.unionByName(to_uid_pairs(ch))
-        bpairs = attach_features(bypass.distinct(), feats)
+        bpairs = _orient_by_real_url(attach_features(bypass.distinct(), feats))
         bpairs = pair_reasons(
             bpairs, cfg, uid_hosts,
             rule_columns=rule_columns or None,
@@ -447,6 +467,39 @@ def run_dedup(
         rejected=rejected,
         cached=tuple(cached),
     )
+
+
+def _orient_by_real_url(pairs: DataFrame) -> DataFrame:
+    """Enforce pair_reasons' orientation contract: side `a` is the
+    lexicographically-smaller REAL url (dedup/verify.py:111 — the
+    reference's preferred/other convention). Channels order pairs by
+    the opaque surrogate uid, which is fine for the SET (dedup,
+    distinct, CC are orientation-free) but NOT for the asymmetric
+    gates (diacritics, preferred-superset rules): left as uid order,
+    a pair's can_merge would depend on which hash the run used, so
+    uid_bits=64 and 128 could yield different clusters. One swap
+    projection after attach_features (a_real_url/b_real_url are
+    already on the row — no extra join)."""
+    if "a_real_url" not in pairs.columns or "b_real_url" not in pairs.columns:
+        return pairs
+    swap = F.col("a_real_url") > F.col("b_real_url")
+
+    def pick(c: str) -> Column:
+        if c == "url_a":
+            other = "url_b"
+        elif c == "url_b":
+            other = "url_a"
+        elif c.startswith("a_"):
+            other = "b_" + c[2:]
+        elif c.startswith("b_"):
+            other = "a_" + c[2:]
+        else:
+            return F.col(c)
+        if other not in pairs.columns:  # one-sided column: leave as is
+            return F.col(c)
+        return F.when(swap, F.col(other)).otherwise(F.col(c)).alias(c)
+
+    return pairs.select(*[pick(c) for c in pairs.columns])
 
 
 def _uid_sources(sources: DataFrame, ids: DataFrame) -> DataFrame:

@@ -318,7 +318,10 @@ def streaming_verify_tail(
     )
     with_j = jaccard_on_pairs(cand, sh)
 
-    feats = url_features(pages_store, sources)
+    feats = url_features(
+        pages_store, sources,
+        extra_cols=tuple(sorted(set(cfg.field_rules) | set(cfg.count_fields))),
+    )
     pairs = attach_features(with_j, feats)
     # same column-presence wiring as run_dedup: every rule/count gate
     # whose column exists on the store participates
@@ -384,6 +387,7 @@ def run_streaming_dedup(
     state_ttl_ms: int | None = None,
     timeout_s: int = 600,
     run_id: str = "stream-0",
+    run_ts: str = "1970-01-01T00:00:00+00:00",
 ) -> StreamingDedupResult:
     """One-call streaming dedup: drain the input with the two
     exactly-once streams, then run the batch verify tail over the
@@ -418,6 +422,7 @@ def run_streaming_dedup(
     return streaming_verify_tail(
         pages_store, candidate_pairs, cfg, sources=sources,
         host_ids=host_ids, authorized_names=authorized_names, run_id=run_id,
+        run_ts=run_ts,
     )
 
 

@@ -198,11 +198,13 @@ def apply_authorized_override(
 
     Per cluster: every member's display host is looked up (broadcast
     semi-join on the normalized form — authorInAuthorizedFormat,
-    post-merge-modifiers.js:251-264). If the survivor's host is already
-    authorized it stays. If exactly one distinct authorized canonical
-    exists among the other members, it overrides the survivor's
-    canonical_host (the other record's heading replaces the survivor's,
-    :225-236). Two or more distinct authorized forms ⇒
+    post-merge-modifiers.js:251-264). If the survivor's host already
+    EQUALS the authorized canonical form it stays; a host that is
+    merely an authorized ALIAS is deliberately rewritten to the
+    canonical — that normalization-to-authorized-format is the
+    reference modifier's whole purpose (:225-236). If exactly one
+    distinct authorized canonical exists among the members, it
+    overrides the survivor's canonical_host. Two or more distinct authorized forms ⇒
     `reject_reason = 'Both records are in authorized format.'` — routed
     to quarantine instead of aborting the job (:221-223).
     """

@@ -42,13 +42,21 @@ OPTIONAL_FEATURE_COLS = (
 )
 
 
-def url_features(pages_with_norm: DataFrame, sources: DataFrame | None) -> DataFrame:
+def url_features(
+    pages_with_norm: DataFrame,
+    sources: DataFrame | None,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
     """Per-url feature table consumed by pair verification.
 
     pages_with_norm: output of normalize.with_normalized (+ optional
     columns per OPTIONAL_FEATURE_COLS).
     sources: (url, source, source_local_id) side table; None ⇒ no
     source-overlap guard.
+    extra_cols: additional page columns to carry (configured
+    field_rules/count_fields targets outside the built-in optional
+    set — without this, a custom rule on a present column would
+    reference an a_/b_ column the features never attached).
     """
     text_len = (
         F.col("text_len")
@@ -63,6 +71,10 @@ def url_features(pages_with_norm: DataFrame, sources: DataFrame | None) -> DataF
         text_len.alias("text_len"),
     ]
     opt = [c for c in OPTIONAL_FEATURE_COLS if c in pages_with_norm.columns]
+    opt += [
+        c for c in extra_cols
+        if c in pages_with_norm.columns and c not in opt
+    ]
     df = pages_with_norm.select(*cols, *opt)
     if "extent" in df.columns:
         # inferTypeAndCount once per url (vectorized), not once per pair

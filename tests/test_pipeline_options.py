@@ -91,3 +91,70 @@ def test_warm_thread_off_identical_results(spark):
     assert a_on == a_off
     on.release()
     off.release()
+
+
+def test_pair_orientation_is_real_url_order(spark):
+    """pair_reasons' contract (verify.py: a = lexicographically-smaller
+    url) must hold in PRODUCTION, where channels order pairs by the
+    opaque uid: the asymmetric gates (diacritics, preferred-superset)
+    must not flip with the hash width. Every verified pair row is
+    checked at both uid widths."""
+    pages, _truth, sources = corpus_dataframes(spark, n_docs=300, seed=11)
+    for bits in (64, 128):
+        res = run_dedup(
+            pages, DedupConfig(uid_bits=bits), sources=sources,
+            persist_pairs=True,
+        )
+        rows = res.pairs.select("a_real_url", "b_real_url").collect()
+        assert rows, "corpus must produce candidate pairs"
+        assert all(r["a_real_url"] < r["b_real_url"] for r in rows), bits
+        res.release()
+
+
+def test_custom_rule_column_participates(spark):
+    """A field_rules entry on a column OUTSIDE the built-in optional
+    set must ride the feature table and gate the pair (it used to
+    raise an unresolved-column error at plan time)."""
+    text = (
+        "the fast key order sort table scan merge part window small hash "
+        "join batch stream spark dup group query row data slow filter"
+    )
+    ts = datetime.datetime(2024, 1, 1)
+
+    def pages_with_subjects(subj_b):
+        return spark.createDataFrame(
+            [
+                ("https://a.example/p/1", ts, text, "fi", ["history"]),
+                ("https://b.example/p/2", ts, text + " x", "fi", subj_b),
+            ],
+            "url string, warc_ts timestamp, text string, lang string,"
+            " subjects array<string>",
+        )
+
+    rules = {"subjects": ["identical"]}
+    cfg = DedupConfig(field_rules=rules)
+    # identical subjects → pair merges (1 survivor)
+    same = run_dedup(pages_with_subjects(["history"]), cfg, persist=False)
+    assert same.survivors.count() == 1
+    # mismatching subjects → the custom rule blocks the merge
+    diff = run_dedup(pages_with_subjects(["cooking"]), cfg, persist=False)
+    assert diff.survivors.count() == 2
+
+
+def test_empty_norm_text_does_not_fuse(spark):
+    """Docs whose NORMALIZED text is empty (every char outside the
+    normalizer alphabet) must not collapse into one exact family;
+    byte-identical raw texts still dedup via the raw fallback key."""
+    ts = datetime.datetime(2024, 1, 1)
+    pages = spark.createDataFrame(
+        [
+            ("https://zh.example/1", ts, "你好世界", "zh"),
+            ("https://zh.example/2", ts, "完全不同的内容", "zh"),
+            ("https://zh.example/3", ts, "你好世界", "zh"),  # raw dup of /1
+        ],
+        "url string, warc_ts timestamp, text string, lang string",
+    )
+    res = run_dedup(pages, DedupConfig(), persist=False)
+    assign = {r["url"]: r["cluster_id"] for r in res.assignments.collect()}
+    assert assign["https://zh.example/1"] == assign["https://zh.example/3"]
+    assert assign["https://zh.example/1"] != assign["https://zh.example/2"]
