@@ -19,7 +19,7 @@ DRIVER_CC_MAX_EDGES for the measured rationale).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
-from pyspark.sql.types import StringType
+from pyspark.sql.types import BinaryType, StringType
 
 
 def _undirect(edges: DataFrame, dedup: bool = True) -> DataFrame:
@@ -139,14 +139,18 @@ def connected_components(
 
     t0 = time.time()
     bound = DRIVER_CC_MAX_EDGES if driver_max_edges is None else driver_max_edges
-    if driver_max_edges is None and isinstance(
-        edges.schema["url_a"].dataType, StringType
-    ):
+    key_type = edges.schema["url_a"].dataType
+    if driver_max_edges is None and isinstance(key_type, StringType):
         # the 10M default is sized for 8-byte surrogate keys (~160 MB
         # on the driver); url STRINGS are ~10× wider as Python objects
         # (the streaming tail clusters raw urls), so scale the regime
         # switch down rather than OOM the driver
         bound //= 10
+    elif driver_max_edges is None and isinstance(key_type, BinaryType):
+        # 16-byte binary uids (uid_bits=128) collect as Python bytes
+        # objects with ~3-4× the footprint of the 8-byte longs the
+        # default budget assumes
+        bound //= 4
     if n_edges is not None and n_edges <= bound:
         return _cc_driver(edges, verbose, t0)
     return _cc_loop(edges, max_iterations, verbose, t0, check_every)

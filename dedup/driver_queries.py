@@ -456,8 +456,9 @@ def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         f["n_alpha"].alias("n_alpha"),
         f["n_punct"].alias("n_punct"),
         F.expr(
-            "CAST((length(regexp_replace(trim(text), '[^a-zA-Zåäö]', '')) * 1000000)"
-            " div greatest(length(trim(text)), 1) AS BIGINT)"
+            "CAST((length(regexp_replace(text, '[^a-zA-Zåäö]', '')) * 1000000)"
+            " div greatest(length(regexp_replace(text, '^\\\\s+|\\\\s+$', '')), 1)"
+            " AS BIGINT)"
         ).alias("alpha_ratio_micro"),
     )
 
@@ -782,8 +783,12 @@ ORACLES["shingle_stats"] = f"""
 WITH {_PAGES_CTE.strip()}, {_NORM_CTE.strip()}, {_CLEAN_CTE.strip()},
 {_SHINGLE_CTE.strip()}
 SELECT c.url, s.n_sh::BIGINT AS n_shingles,
-       CASE WHEN length(trim(c.text)) = 0 THEN 0
-            ELSE length(regexp_split_to_array(trim(c.text), '\\s+')::VARCHAR[])
+       CASE WHEN c.text IS NULL
+                 OR length(regexp_replace(c.text, '^\\s+|\\s+$', '', 'g')) = 0
+            THEN 0
+            ELSE length(regexp_split_to_array(
+                   regexp_replace(c.text, '^\\s+|\\s+$', '', 'g'),
+                   '\\s+')::VARCHAR[])
        END::BIGINT AS n_tokens
 FROM clean c JOIN sh_sizes s ON s.url = c.url
 """
@@ -893,10 +898,14 @@ lang_scores AS (
 
 
 def _occurrences_sql(token: str) -> str:
+    # spaces doubled before matching, mirroring textstats
+    # ._count_occurrences: adjacent repeats must each own both
+    # delimiting spaces or non-overlapping replace() undercounts
     needle = f" {token} "
+    spaced = "' ' || replace(lower(text), ' ', '  ') || ' '"
     return (
-        f"((length(' ' || lower(text) || ' ') - "
-        f"length(replace(' ' || lower(text) || ' ', '{needle}', '')))"
+        f"((length({spaced}) - "
+        f"length(replace({spaced}, '{needle}', '')))"
         f" / {len(needle)})::BIGINT"
     )
 
@@ -936,16 +945,21 @@ FROM best WHERE rn = 1
 ORACLES["quality_features"] = f"""
 WITH {_PAGES_CTE.strip()}
 SELECT url,
-       length(trim(text))::BIGINT AS n_chars,
-       (CASE WHEN length(trim(text)) = 0 THEN 0
-             ELSE length(regexp_split_to_array(trim(text), '\\s+')::VARCHAR[])
+       length(regexp_replace(text, '^\\s+|\\s+$', '', 'g'))::BIGINT AS n_chars,
+       (CASE WHEN text IS NULL
+                  OR length(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) = 0
+             THEN 0
+             ELSE length(regexp_split_to_array(
+                    regexp_replace(text, '^\\s+|\\s+$', '', 'g'),
+                    '\\s+')::VARCHAR[])
         END)::BIGINT AS n_tokens,
-       length(regexp_replace(trim(text), '[^a-zA-Zåäö]', '', 'g'))::BIGINT
+       length(regexp_replace(text, '[^a-zA-Zåäö]', '', 'g'))::BIGINT
          AS n_alpha,
-       length(regexp_replace(trim(text), '[^.,!?;:]', '', 'g'))::BIGINT
+       length(regexp_replace(text, '[^.,!?;:]', '', 'g'))::BIGINT
          AS n_punct,
-       ((length(regexp_replace(trim(text), '[^a-zA-Zåäö]', '', 'g')) * 1000000)
-        // greatest(length(trim(text)), 1))::BIGINT AS alpha_ratio_micro
+       ((length(regexp_replace(text, '[^a-zA-Zåäö]', '', 'g')) * 1000000)
+        // greatest(length(regexp_replace(text, '^\\s+|\\s+$', '', 'g')), 1)
+       )::BIGINT AS alpha_ratio_micro
 FROM pages
 """
 
@@ -1230,8 +1244,11 @@ HAVING sum(CASE WHEN a.bv <> b.bv THEN 1 ELSE 0 END) <= 3
 ORACLES["token_counts"] = f"""
 WITH {_PAGES_CTE.strip()}
 SELECT url,
-       CASE WHEN length(trim(text)) = 0 THEN 0
-            ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+       CASE WHEN text IS NULL
+                 OR length(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) = 0
+            THEN 0
+            ELSE len(regexp_split_to_array(
+                   regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+'))
        END::BIGINT AS ws_tokens,
        CASE WHEN length(trim(text)) = 0 THEN 0
             ELSE len(list_filter(

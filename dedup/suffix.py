@@ -317,7 +317,11 @@ def lcp_pairs_distributed(
         rep_pages = pages_with_norm.join(reps, "url")
     else:
         rep_pages = pages_with_norm
-    fps = fingerprint_table(rep_pages, cfg).distinct()
+    # no distinct(): winnow_fingerprints returns np.unique per doc, so
+    # (url, fp) rows are already globally unique — a distinct here was
+    # a redundant full shuffle of the channel's largest intermediate
+    # (substring_candidates feeds the same table unshuffled)
+    fps = fingerprint_table(rep_pages, cfg)
     # two consumers (block sizes + block membership) — without a
     # persist both re-run the winnowing UDF; the 16-byte rows are cheap
     # to hold. Persist only when a cache_registry takes ownership of the

@@ -26,8 +26,14 @@ LANG_MARKERS: dict[str, list[str]] = {
 
 def _count_occurrences(text: Column, token: str) -> Column:
     """Occurrences of ' token ' in ' text ' — expressible identically in
-    DuckDB ((length(x)-length(replace(x,t,'')))/length(t))."""
-    padded = F.concat(F.lit(" "), text, F.lit(" "))
+    DuckDB ((length(x)-length(replace(x,t,'')))/length(t)).
+
+    Single spaces are DOUBLED before matching: plain replace() removes
+    non-overlapping matches, so adjacent repeats (' the the the ')
+    would otherwise count 2 instead of 3 — each occurrence must own
+    both of its delimiting spaces."""
+    spaced = F.replace(text, F.lit(" "), F.lit("  "))
+    padded = F.concat(F.lit(" "), spaced, F.lit(" "))
     needle = f" {token} "
     return (
         (F.length(padded) - F.length(F.replace(padded, F.lit(needle), F.lit(""))))
@@ -46,7 +52,10 @@ def lang_scores(text: Column) -> dict[str, Column]:
 
 def lang_id(text: Column) -> Column:
     """argmax over marker-hit counts; 'und' when nothing matched.
-    Deterministic tie-break: language name ascending."""
+    Deterministic tie-break: array_max compares the (score, lang)
+    structs field-by-field, so ties pick the lexicographically LAST
+    language name (descending) — the DuckDB oracle mirrors this with
+    ORDER BY score DESC, lang DESC."""
     scores = lang_scores(text)
     pairs = F.array(
         *[
@@ -58,31 +67,57 @@ def lang_id(text: Column) -> Column:
     return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
 
 
+def _ws_trim(text: Column) -> Column:
+    """Strip BOUNDARY whitespace of every kind — F.trim strips ASCII
+    spaces only, so 'x\\n' would keep its newline and split() would
+    emit a trailing empty token."""
+    return F.regexp_replace(text, r"^\s+|\s+$", "")
+
+
 def token_count(text: Column) -> Column:
-    """Whitespace tokenization; empty/blank text counts 0."""
-    t = F.trim(text)
-    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+    """Whitespace tokenization; null/blank/whitespace-only text counts
+    0 (not NULL, not a phantom boundary token)."""
+    t = _ws_trim(text)
+    return F.when(t.isNull() | (F.length(t) == 0), F.lit(0)).otherwise(
         F.size(F.split(t, r"\s+"))
     ).cast("long")
 
 
+# translate-fold for the BPE-ish tokenizer: every char of the alnum-ish
+# class [0-9A-Za-zÀ-ÿ] maps onto 'a', turning the 4-component regex
+# classes below into ≤2-component ones. java.util.regex drops to a
+# ~27-40x slower, non-thread-scaling path when a character class unions
+# more than two components (measured on this host; see normalize.py) —
+# folding preserves run boundaries and the punct count exactly.
+_BPE_FOLD_SRC = (
+    "0123456789"
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+    + "".join(chr(c) for c in range(0xC0, 0x100))  # À-ÿ, the full range
+)
+_BPE_FOLD_DST = "a" * len(_BPE_FOLD_SRC)
+
+
 def bpe_ish_token_count(text: Column) -> Column:
     """Sub-word-ish counting: alnum runs + each punctuation mark counts
-    one token (a BPE-flavored regex heuristic)."""
+    one token (a BPE-flavored regex heuristic). Computed over the
+    translate-folded text (see _BPE_FOLD_SRC) so both regex classes
+    stay on the JVM fast path — bit-identical to the direct 4-component
+    form (equivalence pinned by test)."""
+    folded = F.translate(text, _BPE_FOLD_SRC, _BPE_FOLD_DST)
     return F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(
         F.size(
             F.filter(
-                F.split(text, r"([^0-9A-Za-zÀ-ÿ]+)"),
+                F.split(folded, r"[^a-z]+"),
                 lambda s: F.length(s) > 0,
             )
         )
-        + F.length(F.regexp_replace(text, r"[0-9A-Za-zÀ-ÿ\s]+", ""))
+        + F.length(F.regexp_replace(folded, r"[a-z\s]+", ""))
     ).cast("long")
 
 
 def quality_features(text: Column) -> dict[str, Column]:
     """Quality heuristics (Gopher/C4-style rules on cheap stats)."""
-    t = F.trim(text)
+    t = _ws_trim(text)
     n_chars = F.length(t).cast("long")
     n_tokens = token_count(t)
     # ASCII-fast-path form of length(regexp_replace(t,'[^a-zA-Zåäö]',''))
@@ -92,7 +127,12 @@ def quality_features(text: Column) -> dict[str, Column]:
     n_alpha = F.length(
         F.regexp_replace(F.translate(t, "åäö", "aaa"), "[^a-zA-Z]", "")
     ).cast("long")
-    n_punct = F.length(F.regexp_replace(t, r"[^.,!?;:]", "")).cast("long")
+    # translate, not a 6-component regex class (the same JVM cliff the
+    # n_alpha comment describes): count = chars removed by deleting
+    # every punctuation mark
+    n_punct = (
+        F.length(t) - F.length(F.translate(t, ".,!?;:", ""))
+    ).cast("long")
     n_stop = sum(
         (_count_occurrences(F.lower(t), w) for w in LANG_MARKERS["en"]), F.lit(0)
     ).cast("long")

@@ -46,3 +46,61 @@ def test_quality_score_deterministic_and_bounded(spark):
         v2 = _one(spark, quality_score_micro, t)
         assert v1 == v2
         assert 0 <= v1 <= 1_000_000
+
+
+def test_bpe_fold_bit_identical_to_direct_form(spark):
+    """The translate-folded BPE expression must equal the direct
+    4-component-class form on adversarial inputs (accents, the × and ÷
+    inside the À-ÿ range, digits adjoining letters, pure punctuation)."""
+    texts = [
+        "héllo wörld Ångström ×÷ 3.14abc", "ÀÁÂÿþ×÷", "a1b2c3", "...",
+        "tab\tsep\nlines", "mixÉd ÇASE åäö 007", "", "   ", "a" * 50,
+        "!?.,;:" * 5, "ab×cd÷ef", "ÿ×ÿ",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    direct = F.when(F.length(F.trim(F.col("t"))) == 0, F.lit(0)).otherwise(
+        F.size(F.filter(F.split(F.col("t"), r"[^0-9A-Za-zÀ-ÿ]+"),
+                        lambda s: F.length(s) > 0))
+        + F.length(F.regexp_replace(F.col("t"), r"[0-9A-Za-zÀ-ÿ\s]+", ""))
+    ).cast("long")
+    rows = df.select(
+        bpe_ish_token_count(F.col("t")).alias("fast"), direct.alias("ref")
+    ).collect()
+    assert all(r["fast"] == r["ref"] for r in rows), rows
+
+
+def test_token_count_boundary_whitespace(spark):
+    """Newline/tab-terminated text must not count phantom boundary
+    tokens; null and whitespace-only count 0."""
+    from dedup.textstats import token_count
+
+    cases = {
+        "hello world\n": 2, "\thello": 1, "\t": 0, " \n ": 0,
+        "a b": 2, "": 0, None: 0, "x\r\n": 1,
+    }
+    df = spark.createDataFrame([(t,) for t in cases], "t string")
+    got = {r["t"]: r["n"] for r in df.select(
+        "t", token_count(F.col("t")).alias("n")).collect()}
+    assert got == cases
+
+
+def test_marker_count_adjacent_repeats(spark):
+    """' the the the ' must count 3 (non-overlapping replace over
+    shared delimiter spaces used to count 2)."""
+    from dedup.textstats import _count_occurrences
+
+    assert _one(
+        spark, lambda c: _count_occurrences(c, "the"), "the the the"
+    ) == 3
+    assert _one(
+        spark, lambda c: _count_occurrences(c, "the"), "the cat the"
+    ) == 2
+
+
+def test_n_punct_translate_form(spark):
+    from dedup.textstats import quality_features
+
+    df = spark.createDataFrame([("a.b,c!?;:end.",)], "t string")
+    f = quality_features(F.col("t"))
+    (row,) = df.select(f["n_punct"].alias("p")).collect()
+    assert row["p"] == 7
