@@ -38,6 +38,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
+from dedup.extract import escape_wrapper_text
 from dedup.pages import EPOCH_BASE
 
 _VOCAB = [
@@ -85,7 +86,10 @@ def generate_corpus(
             dict(
                 url=url,
                 warc_ts=EPOCH_BASE + next_id * 60 + ts_off,
-                html=("<html><body>" + text + "</body></html>").encode(),
+                html=(
+                    "<html><body>" + escape_wrapper_text(text)
+                    + "</body></html>"
+                ).encode(),
                 text=text,
                 lang=lang,
                 **m,

@@ -26,6 +26,35 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 SCALE = 1 << 20  # float → fixed-point scale for engine-stable math
 
 
+def _stack_rows(
+    col: "pd.Series", dtype, zero_null: bool = False
+) -> tuple[np.ndarray, np.ndarray]:
+    """(matrix, keep_mask) for an Arrow embedding column. Fast path is
+    ONE vstack (clean batches — the overwhelming case); a null or
+    wrong-length row falls back to a row-wise fill so one corrupt
+    embedding cannot kill the whole scan (the declarative paths
+    degrade per-row; the kernels must match). zero_null=True keeps
+    every row, substituting a zero vector (→ cosine 0 downstream);
+    otherwise corrupt rows are dropped via the mask."""
+    vals = col.to_numpy()
+    try:
+        return np.vstack(vals).astype(dtype), np.ones(len(vals), dtype=bool)
+    except ValueError:
+        dim = next(
+            (len(v) for v in vals if v is not None and len(v) > 0), 1
+        )
+        keep = np.array(
+            [v is not None and len(v) == dim for v in vals], dtype=bool
+        )
+        out = np.zeros((len(vals), dim), dtype=dtype)
+        for i, v in enumerate(vals):
+            if keep[i]:
+                out[i] = v
+        if zero_null:
+            return out, np.ones(len(vals), dtype=bool)
+        return out[keep], keep
+
+
 def _fixed_point(col: Column) -> Column:
     """array<float> → array<long> micro-scaled (floor), deterministic."""
     return F.transform(col, lambda x: F.floor(x.cast("double") * SCALE).cast("long"))
@@ -97,7 +126,12 @@ def matmul_topk(
     """Production ANN baseline: one BLAS matmul per Arrow batch, partial
     top-k per batch (only k rows per query per batch shuffle), global
     top-k window at the end."""
-    qm = query_matrix / np.linalg.norm(query_matrix, axis=1, keepdims=True)
+    # same zero-norm floor as the corpus side: a zero query must score
+    # cosine 0 everywhere (NaN would sort above every real cosine in
+    # the descending window and fill its top-k with garbage)
+    qm = query_matrix / np.maximum(
+        np.linalg.norm(query_matrix, axis=1, keepdims=True), 1e-30
+    )
     qm = qm.astype(np.float32)
     qids = query_ids.copy()
 
@@ -105,18 +139,20 @@ def matmul_topk(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            m = np.vstack(pdf["embedding"].to_numpy()).astype(np.float32)
+            m, keep = _stack_rows(pdf["embedding"], np.float32)
+            if not len(m):
+                continue
             m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
             sims = qm @ m.T  # (nq, batch)
             # mask self-matches BEFORE the partial top-k — filtering them
             # downstream would let the self row consume a top-k slot
-            batch_ids = pdf["vec_id"].to_numpy()
+            batch_ids = pdf["vec_id"].to_numpy()[keep]
             sims[qids[:, None] == batch_ids[None, :]] = -np.inf
             top = min(k, sims.shape[1])
             idx = np.argpartition(-sims, top - 1, axis=1)[:, :top]
             rows = {
                 "q_id": np.repeat(qids, top),
-                "vec_id": pdf["vec_id"].to_numpy()[idx].ravel(),
+                "vec_id": batch_ids[idx].ravel(),
                 "cosine": np.take_along_axis(sims, idx, axis=1).ravel().astype(
                     "float64"
                 ),
@@ -279,12 +315,12 @@ def hyperplane_keys_batch(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            v = np.floor(
-                np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
-                * SCALE
-            ).astype(np.int64)
+            raw, keep = _stack_rows(pdf["embedding"], np.float64)
+            if not len(raw):
+                continue
+            v = np.floor(raw * SCALE).astype(np.int64)
             bits = (v @ wall.T >= 0).astype(np.int64)  # (n, T·P)
-            ids = pdf["vec_id"].to_numpy()
+            ids = pdf["vec_id"].to_numpy()[keep]
             for t in range(n_tables):
                 bt = bits[:, t * n_planes:(t + 1) * n_planes]
                 bucket = np.zeros(len(v), dtype=np.int64)
@@ -355,8 +391,14 @@ def lsh_bucketed_topk(
         .filter(
             F.col("bsz").isNull()
             | (
+                # the table index SALTS the thinning coin: near-identical
+                # vectors share over-cap buckets in EVERY table, so a
+                # vec_id-only hash would thin the same pairs in all L
+                # tables at once and the 1-(1-p^b)^L multi-table recall
+                # term would never recover them — per-table independent
+                # coins cut that correlated loss to (1/d)^L
                 F.pmod(
-                    F.xxhash64("vec_id"),
+                    F.xxhash64("vec_id", "tbl"),
                     (F.col("bsz") / F.lit(max_bucket)).cast("long") + 1,
                 )
                 == 0
@@ -403,8 +445,15 @@ def cosine_micro_batch() -> Column:
     def _cos(q: pd.Series, v: pd.Series, q_n2: pd.Series, v_n2: pd.Series) -> pd.Series:
         if len(q) == 0:
             return pd.Series([], dtype="int64")
-        a = np.vstack(q.to_numpy()).astype(np.int64, copy=False)
-        b = np.vstack(v.to_numpy()).astype(np.int64, copy=False)
+        # zero_null: a null vector in a candidate pair becomes a zero
+        # row → dot 0, den 0 → the guard below scores it cosine 0
+        # (one corrupt row must not kill the re-rank stage)
+        a, _ = _stack_rows(q, np.int64, zero_null=True)
+        b, _ = _stack_rows(v, np.int64, zero_null=True)
+        if a.shape[1] != b.shape[1]:  # degenerate all-null side
+            w = max(a.shape[1], b.shape[1])
+            a = np.pad(a, ((0, 0), (0, w - a.shape[1])))
+            b = np.pad(b, ((0, 0), (0, w - b.shape[1])))
         dots = np.einsum("ij,ij->i", a, b).astype(np.float64)
         den = (
             np.sqrt(q_n2.to_numpy().astype(np.float64))
@@ -481,7 +530,9 @@ def ivf_fit_centroids(
         # empty corpus (or fully filtered): no model to fit — callers
         # (ivf_topk) degrade to an empty result like the LSH path does
         return np.zeros((0, 0), dtype=np.float32)
-    m = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+    m, _keep = _stack_rows(pdf["embedding"], np.float64)
+    if not len(m):
+        return np.zeros((0, 0), dtype=np.float32)
     m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
     kc = min(n_centroids, len(m))
     cents = m[:kc].copy()
@@ -533,7 +584,9 @@ def ivf_topk(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            m = np.vstack(pdf["embedding"].to_numpy()).astype(np.float32)
+            m, keep = _stack_rows(pdf["embedding"], np.float32)
+            if not len(m):
+                continue
             m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
             sims = m @ cmat.T  # (batch, n_centroids)
             # corpus cell = argmin index among max-sims (ties → lowest id)
@@ -541,10 +594,10 @@ def ivf_topk(
             # query probes = nprobe best cells
             order = np.argsort(-sims, kind="stable", axis=1)[:, :npb]
             out = {
-                "vec_id": np.repeat(pdf["vec_id"].to_numpy(), npb),
+                "vec_id": np.repeat(pdf["vec_id"].to_numpy()[keep], npb),
                 "probe_cell": order.ravel().astype("int64"),
                 "own_cell": np.repeat(cell.astype("int64"), npb),
-                "probe_rank": np.tile(np.arange(npb, dtype="int64"), len(pdf)),
+                "probe_rank": np.tile(np.arange(npb, dtype="int64"), len(m)),
             }
             yield pd.DataFrame(out)
 

@@ -35,11 +35,33 @@ _DROP_RE = re.compile(
 )
 
 
+_WRAP_RE = re.compile(rb"^<html><body>(.*)</body></html>$", re.DOTALL)
+
+
+def escape_wrapper_text(text: str) -> str:
+    """&/</> escaping for the canonical '<html><body>…' wrapper — the
+    exact inverse of html.unescape on those three entities, so the
+    byte-identical-per-url invariant holds for text that CONTAINS
+    entity-like substrings ('Fish &amp; Chips') or markup characters."""
+    return text.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+
 def extract_text_bytes(payload: bytes | None) -> str | None:
-    """Deterministic extraction: drop script/style, tags → boundaries,
-    entity-decode, collapse whitespace."""
+    """Deterministic extraction. Two regimes:
+
+    * the canonical wrapper ('<html><body>…</body></html>') extracts
+      EXACTLY — body bytes decoded and entity-unescaped, nothing else
+      touched (no whitespace collapse) — the true inverse of
+      escape_wrapper_text, so the invariant survives newlines, double
+      spaces and entity-like text;
+    * anything else takes the lossy heuristic: drop script/style,
+      tags → boundaries, entity-decode, collapse whitespace.
+    """
     if payload is None:
         return None
+    m = _WRAP_RE.match(payload)
+    if m is not None:
+        return _htmllib.unescape(m.group(1).decode("utf-8", "replace"))
     b = _DROP_RE.sub(b" ", payload)
     b = _BLOCK_RE.sub(b" ", b)
     b = _TAG_RE.sub(b"", b)

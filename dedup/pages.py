@@ -45,7 +45,20 @@ def documents_to_pages(docs: DataFrame) -> DataFrame:
             F.lit(EPOCH_BASE) + F.col("doc_id") * F.lit(TS_STEP_SECONDS)
         ).alias("warc_ts"),
         F.encode(
-            F.concat(F.lit("<html><body>"), F.col("text"), F.lit("</body></html>")),
+            # &/</> escaped so extraction's unescape is an exact inverse
+            # (entity-like text would otherwise break the byte-identical
+            # invariant; dedup/extract.py escape_wrapper_text)
+            F.concat(
+                F.lit("<html><body>"),
+                F.replace(
+                    F.replace(
+                        F.replace(F.col("text"), F.lit("&"), F.lit("&amp;")),
+                        F.lit("<"), F.lit("&lt;"),
+                    ),
+                    F.lit(">"), F.lit("&gt;"),
+                ),
+                F.lit("</body></html>"),
+            ),
             "UTF-8",
         ).alias("html"),
         F.col("text"),

@@ -305,3 +305,39 @@ def test_cosine_micro_batch_bit_equal_declarative(emb):
         .count()
     )
     assert diff == 0
+
+
+def test_null_embedding_rows_do_not_kill_kernels(spark):
+    """Totality contract: one null embedding row must not abort the
+    Arrow kernels — it is skipped (bucketing/ANN) or scored cosine 0
+    (re-rank), matching the declarative paths' per-row degradation."""
+    import numpy as np
+    from dedup.embeddings import ivf_topk, lsh_bucketed_topk, matmul_topk
+
+    rng = np.random.default_rng(2)
+    rows = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(30)]
+    rows.insert(7, (99, None))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    assert lsh_bucketed_topk(emb, k=3).filter("q_id = 99").count() == 0
+    assert ivf_topk(emb, k=3, n_centroids=4, nprobe=2).filter(
+        "q_id = 99").count() == 0
+    qm = np.vstack([r[1] for r in rows if r[1] is not None][:4])
+    qid = np.array([r[0] for r in rows if r[1] is not None][:4])
+    got = matmul_topk(emb, qm, qid, k=3)
+    assert got.count() == 12 and got.filter("vec_id = 99").count() == 0
+
+
+def test_zero_norm_query_matmul_is_defined(spark):
+    """A zero-norm query scores cosine 0 against everything instead of
+    NaN garbage filling its top-k."""
+    import numpy as np
+    from dedup.embeddings import matmul_topk
+
+    rng = np.random.default_rng(3)
+    rows = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(10)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qm = np.vstack([np.zeros(8), np.asarray(rows[1][1])])
+    res = matmul_topk(emb, qm, np.array([100, 1]), k=3).collect()
+    zero_rows = [r for r in res if r["q_id"] == 100]
+    assert len(zero_rows) == 3
+    assert all(abs(r["cosine"]) < 1e-12 for r in zero_rows)

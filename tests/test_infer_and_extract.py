@@ -75,3 +75,22 @@ def test_extraction_byte_identical_on_driver_pages(spark, sf_dir):
     from dedup.pages import load_pages
 
     assert extraction_mismatches(load_pages(spark, sf_dir)).count() == 0
+
+
+def test_extraction_exact_inverse_for_adversarial_text(spark):
+    """The wrapper escapes &/</>, extraction unescapes, nothing else is
+    touched: entity-like text, newlines and double spaces round-trip
+    byte-identically (they used to break the invariant)."""
+    from dedup.extract import escape_wrapper_text
+    from dedup.pages import documents_to_pages
+
+    texts = ["Fish &amp; Chips", "a  b\nline two", "x<y>z & w", "plain"]
+    for t in texts:  # pure-python path (corpus generator)
+        w = ("<html><body>" + escape_wrapper_text(t) + "</body></html>").encode()
+        assert extract_text_bytes(w) == t
+    docs = spark.createDataFrame(
+        [(i, t, "en", "crawl-a") for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string",
+    )
+    pages = documents_to_pages(docs)  # Spark-side wrapper (escaped)
+    assert extraction_mismatches(pages).count() == 0
