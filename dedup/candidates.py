@@ -43,25 +43,42 @@ def exact_groups(pages_with_norm: DataFrame, cfg: DedupConfig) -> DataFrame:
       would fuse every such same-lang page into one "exact" family with
       a forced jaccard of 1.0. The two key domains are prefix-tagged so
       a raw text can never collide with a normalized one.
-    * the key LENGTH rides along as a second group column: a 64-bit
+    * the TEXT length rides along as a second group column: a 64-bit
       hash collision between different texts would otherwise verify at
       jaccard 1.0 forever (the rep mapping substitutes the rep's
       shingles for both sides, so no downstream check can see it);
       equal length is a free narrow second factor, and uid_bits=128
       upgrades the hash itself to a 128-bit md5 digest (the same
-      escape hatch the surrogate ids use).
+      escape hatch the surrogate ids use). On the production narrow
+      path (prepare_clean dropped `text`, kept `raw_hash` + `text_len`)
+      the length factor is `text_len` — the RAW length, not the length
+      of the hash string, which is constant and would void the factor
+      for exactly the empty-norm class that relies on it; prepare_clean
+      additionally computes raw_hash as md5 when uid_bits=128, so the
+      128-bit escape hatch covers the raw domain too (md5 of an md5
+      digest string is injective over digests).
     """
     cols = pages_with_norm.columns
     if "text" in cols:  # spec/test callers that kept the raw column
         raw_part = F.coalesce(F.col("text"), F.lit(""))
+        raw_len = F.length(raw_part)
     elif "raw_hash" in cols:  # production narrow clean (prepare_clean)
         raw_part = F.col("raw_hash").cast("string")
+        raw_len = (
+            F.coalesce(F.col("text_len"), F.lit(-1))
+            if "text_len" in cols
+            else F.length(raw_part)
+        )
     else:  # no raw signal at all: empty-norm docs stay singletons
         raw_part = F.col("url").cast("string")
+        raw_len = F.length(raw_part)
     key = F.when(
         F.length("norm_text") > 0,
         F.concat(F.lit("n:"), F.col("norm_text")),
     ).otherwise(F.concat(F.lit("r:"), raw_part))
+    key_len = F.when(
+        F.length("norm_text") > 0, F.length("norm_text")
+    ).otherwise(raw_len)
     if cfg.hash_mode == "portable":
         th = h60(key)
     elif cfg.uid_bits == 128:
@@ -69,7 +86,7 @@ def exact_groups(pages_with_norm: DataFrame, cfg: DedupConfig) -> DataFrame:
     else:
         th = F.xxhash64(key)
     hashed = pages_with_norm.select(
-        "url", th.alias("text_hash"), F.length(key).alias("_key_len")
+        "url", th.alias("text_hash"), key_len.alias("_key_len")
     )
     reps = hashed.groupBy("text_hash", "_key_len").agg(
         F.min("url").alias("rep_url")

@@ -142,7 +142,9 @@ def main(argv: list[str] | None = None) -> int:
     # ONE normalization for channels + pipeline: every channel and
     # run_dedup itself consume this persisted narrow frame (cache
     # substitution matches plan identity — same object everywhere)
-    clean = prepare_clean(pages).persist(StorageLevel.MEMORY_AND_DISK)
+    clean = prepare_clean(pages, uid_bits=cfg.uid_bits).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     channel_caches.append(clean)
     if "simhash" in channels:
         # Hamming <= max_hamming IS the channel's similarity verification

@@ -37,22 +37,32 @@ def _stack_rows(
     every row, substituting a zero vector (→ cosine 0 downstream);
     otherwise corrupt rows are dropped via the mask."""
     vals = col.to_numpy()
-    try:
-        return np.vstack(vals).astype(dtype), np.ones(len(vals), dtype=bool)
-    except ValueError:
-        dim = next(
-            (len(v) for v in vals if v is not None and len(v) > 0), 1
-        )
-        keep = np.array(
-            [v is not None and len(v) == dim for v in vals], dtype=bool
-        )
-        out = np.zeros((len(vals), dim), dtype=dtype)
-        for i, v in enumerate(vals):
-            if keep[i]:
-                out[i] = v
-        if zero_null:
-            return out, np.ones(len(vals), dtype=bool)
-        return out[keep], keep
+    # null rows must be detected BEFORE the vstack fast path: a
+    # null-mixed batch usually raises ValueError (ragged), but an
+    # ALL-null batch vstacks "successfully" into an (n,1) object array
+    # that .astype silently turns into NaN rows with keep=True —
+    # poisoning every downstream cosine instead of degrading per-row
+    if not any(v is None for v in vals):
+        try:
+            return (
+                np.vstack(vals).astype(dtype),
+                np.ones(len(vals), dtype=bool),
+            )
+        except (ValueError, TypeError):
+            pass  # ragged/empty rows: fall through to the row-wise fill
+    dim = next(
+        (len(v) for v in vals if v is not None and len(v) > 0), 1
+    )
+    keep = np.array(
+        [v is not None and len(v) == dim for v in vals], dtype=bool
+    )
+    out = np.zeros((len(vals), dim), dtype=dtype)
+    for i, v in enumerate(vals):
+        if keep[i]:
+            out[i] = v
+    if zero_null:
+        return out, np.ones(len(vals), dtype=bool)
+    return out[keep], keep
 
 
 def _fixed_point(col: Column) -> Column:
@@ -297,11 +307,17 @@ def hyperplane_keys_batch(
     the spec expression measured ~2.5 ms/row at dim 64, which is the
     wrong cost model for a 10⁹-vector corpus."""
     spark = embeddings.sparkSession
-    first = embeddings.select(F.size("embedding")).first()
+    # dim probe must come from a USABLE row: probing an arbitrary
+    # first() row would return empty for the whole corpus if that one
+    # row happened to be null/empty — a single corrupt row must degrade
+    # per-row (the _stack_rows mask handles it), never corpus-wide
+    first = (
+        embeddings.filter(F.size("embedding") > 0)
+        .select(F.size("embedding"))
+        .first()
+    )
     if first is None or first[0] is None or first[0] <= 0:
-        # empty corpus / null first embedding: no buckets, not a crash
-        # (the declarative path this replaced degraded the same way;
-        # the IVF sibling has the same contract)
+        # no row has a usable embedding: no buckets, not a crash
         return spark.createDataFrame(
             [], "vec_id long, tbl int, bucket long"
         )

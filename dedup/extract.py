@@ -53,14 +53,18 @@ def extract_text_bytes(payload: bytes | None) -> str | None:
       EXACTLY — body bytes decoded and entity-unescaped, nothing else
       touched (no whitespace collapse) — the true inverse of
       escape_wrapper_text, so the invariant survives newlines, double
-      spaces and entity-like text;
+      spaces and entity-like text. The exact path requires the body to
+      contain NO raw '<': escape_wrapper_text always escapes it, so a
+      real crawled page that merely matches the wrapper shape (and
+      would otherwise get its <script> contents returned verbatim)
+      falls through to the lossy heuristic;
     * anything else takes the lossy heuristic: drop script/style,
       tags → boundaries, entity-decode, collapse whitespace.
     """
     if payload is None:
         return None
     m = _WRAP_RE.match(payload)
-    if m is not None:
+    if m is not None and b"<" not in m.group(1):
         return _htmllib.unescape(m.group(1).decode("utf-8", "replace"))
     b = _DROP_RE.sub(b" ", payload)
     b = _BLOCK_RE.sub(b" ", b)

@@ -73,7 +73,7 @@ class DedupResult:
                 pass
 
 
-def prepare_clean(pages: DataFrame) -> DataFrame:
+def prepare_clean(pages: DataFrame, uid_bits: int = 64) -> DataFrame:
     """Normalize → quarantine-filter → narrow: the shared pre-channel
     working set. Callers that feed extra channels (SimHash / substring /
     LCP) AND run_dedup should build this ONCE, persist it, and pass the
@@ -87,10 +87,16 @@ def prepare_clean(pages: DataFrame) -> DataFrame:
     from it instead of caching wide arrays."""
     clean = quarantine_filter(with_normalized(pages))
     clean = clean.withColumn("text_len", F.length("text"))
-    # 8-byte stand-in for the raw text after the drop: the exact channel
-    # needs a raw-equality fallback for docs whose NORMALIZED text is
-    # empty (see candidates.exact_groups)
-    clean = clean.withColumn("raw_hash", F.xxhash64("text"))
+    # stand-in for the raw text after the drop: the exact channel needs
+    # a raw-equality fallback for docs whose NORMALIZED text is empty
+    # (see candidates.exact_groups). uid_bits=128 stores the full md5
+    # digest instead of an 8-byte xxhash64 — at 10^12 empty-norm docs
+    # the 64-bit birthday bound fuses unrelated pages as exact dups with
+    # no downstream check able to see it (exact_groups forces jaccard
+    # 1.0 via the rep mapping), so the wide-id escape hatch must cover
+    # the raw domain too.
+    raw_hash = F.md5("text") if uid_bits == 128 else F.xxhash64("text")
+    clean = clean.withColumn("raw_hash", raw_hash)
     return clean.drop(*[c for c in ("html", "text") if c in clean.columns])
 
 
@@ -143,7 +149,7 @@ def run_dedup(
     norm = with_normalized(pages)
     caller_clean = clean is not None
     if not caller_clean:
-        clean = prepare_clean(pages)
+        clean = prepare_clean(pages, uid_bits=cfg.uid_bits)
     if persist and not caller_clean:
         # clean feeds exact-grouping, signatures, features and members —
         # without a persist every downstream action re-scans + re-derives.

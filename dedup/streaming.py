@@ -12,6 +12,9 @@ DataFrame semantics (joins + windows) per batch.
 
 from __future__ import annotations
 
+import json
+import os
+import shutil
 from dataclasses import dataclass
 
 from pyspark.errors import AnalysisException
@@ -106,7 +109,16 @@ def streaming_near_dup_pairs(
 
     norm = with_normalized(pages_stream)
     clean = quarantine_filter(norm)
-    sig = signatures(clean, cfg).select("url", "sig")
+    # degenerate docs — normalized text shorter than one shingle (CJK/
+    # Cyrillic/punctuation-only pages normalize to '' under the
+    # [a-z0-9åäö] alphabet) — share the constant sentinel-shingle
+    # signature, so banding them would pair every such same-alphabet
+    # page at estimate 1.0 and the verify tail would fuse them all
+    # (sentinel-shingle jaccard = 1.0). Same bandable predicate as the
+    # batch pipeline (pipeline.py): they dedup only via the exact
+    # watermark stage.
+    bandable = clean.filter(F.length("norm_text") >= F.lit(cfg.k_shingle))
+    sig = signatures(bandable, cfg).select("url", "sig")
     # band keys exploded as a PROJECTION that keeps the sig column — a
     # join back onto sig here would be a watermark-less stream-stream
     # self-join whose join state retains every row of both sides
@@ -195,6 +207,115 @@ def streaming_near_dup_pairs(
     )
 
 
+# ---------------------------------------------------------------------------
+# Incremental tail state
+# ---------------------------------------------------------------------------
+
+TAIL_STATE_VERSION = 1
+
+
+def _cfg_fingerprint(cfg: DedupConfig) -> str:
+    """Stable serialization of every knob the gated-pair state depends
+    on. Prior verified pairs are reusable ONLY under the exact config
+    that produced them (thresholds, gates, shingle params all feed the
+    stored columns); a mismatch invalidates the state and the next
+    drain recomputes from scratch."""
+    from dataclasses import asdict
+
+    return json.dumps(asdict(cfg), sort_keys=True, default=str)
+
+
+def _read_state_meta(state_dir: str) -> dict | None:
+    marker = os.path.join(state_dir, "state.json")
+    if not os.path.exists(marker):
+        return None
+    try:
+        with open(marker) as f:
+            return json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return None
+
+
+def load_tail_state(
+    spark: SparkSession, state_dir: str, cfg: DedupConfig
+) -> tuple[DataFrame | None, DataFrame | None]:
+    """(prior_pairs, prior_assignments) from a committed tail-state dir,
+    or (None, None) when absent/uncommitted/config-mismatched — every
+    invalid shape degrades to a full recompute, never to wrong output.
+
+    NOTE: the state is also implicitly conditioned on the SIDE TABLES
+    (sources / host_ids / authorized_names) that fed the gates; callers
+    that change a side table between drains must clear the state dir.
+    """
+    meta = _read_state_meta(state_dir)
+    if (
+        meta is None
+        or meta.get("version") != TAIL_STATE_VERSION
+        or meta.get("cfg") != _cfg_fingerprint(cfg)
+    ):
+        return None, None
+    epoch = meta["epoch"]
+    try:
+        pairs = spark.read.parquet(
+            os.path.join(state_dir, f"pairs_v{epoch}")
+        )
+        assigns = spark.read.parquet(
+            os.path.join(state_dir, f"assignments_v{epoch}")
+        )
+    except AnalysisException:
+        return None, None
+    return pairs, assigns
+
+
+def save_tail_state(
+    state_dir: str,
+    pairs: DataFrame,
+    assignments: DataFrame,
+    cfg: DedupConfig,
+) -> None:
+    """Commit this drain's gated pairs + assignments as the next drain's
+    prior state.
+
+    Epoch-versioned: each save writes FRESH `pairs_v{k}` /
+    `assignments_v{k}` dirs, then flips the marker atomically
+    (os.replace). The previous epoch's files are left in place for one
+    more drain — this drain's result frames lazily reference them (the
+    pairs output unions the prior parquet), so deleting them here would
+    break any caller action after the save. Epochs older than k-1 have
+    no live readers and are garbage-collected. A crash mid-save leaves
+    the old marker pointing at intact old dirs: the next drain re-gates
+    a larger delta, never produces wrong output."""
+    os.makedirs(state_dir, exist_ok=True)
+    meta = _read_state_meta(state_dir)
+    epoch = (meta["epoch"] + 1) if meta and "epoch" in meta else 0
+    for name, df in (("pairs", pairs), ("assignments", assignments)):
+        out = os.path.join(state_dir, f"{name}_v{epoch}")
+        if os.path.exists(out):
+            shutil.rmtree(out)
+        df.write.mode("overwrite").parquet(out)
+    marker = os.path.join(state_dir, "state.json")
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(
+            {
+                "version": TAIL_STATE_VERSION,
+                "cfg": _cfg_fingerprint(cfg),
+                "epoch": epoch,
+            },
+            f,
+        )
+    os.replace(tmp, marker)
+    for name in os.listdir(state_dir):
+        for prefix in ("pairs_v", "assignments_v"):
+            if name.startswith(prefix):
+                try:
+                    v = int(name[len(prefix):])
+                except ValueError:
+                    continue
+                if v < epoch - 1:
+                    shutil.rmtree(os.path.join(state_dir, name))
+
+
 @dataclass
 class StreamingDedupResult:
     """Batch-tail outputs over the accumulated streaming stores."""
@@ -276,6 +397,9 @@ def streaming_verify_tail(
     authorized_names: DataFrame | None = None,
     run_id: str = "stream-0",
     run_ts: str = "1970-01-01T00:00:00+00:00",
+    prior_pairs: DataFrame | None = None,
+    prior_assignments: DataFrame | None = None,
+    timings: dict | None = None,
 ) -> StreamingDedupResult:
     """Run the stream's candidates through the SAME tail as the batch
     pipeline — exact Jaccard, then the full reason-gate stack, then
@@ -290,6 +414,29 @@ def streaming_verify_tail(
     start_streaming_stores (normalized columns present).
     candidate_pairs: (url_a, url_b[, est_jaccard]) from the near-dup
     stream; repeats across bands/batches are deduped here.
+
+    INCREMENTAL mode (prior_pairs/prior_assignments from a previous
+    drain's load_tail_state): the expensive work is restricted to the
+    DELTA — the reference's unit of work is the new pair (canMerge,
+    marc-record-merge-melindautils.js:74-120), and a production crawl
+    must not pay O(corpus) per trigger:
+    * Jaccard (the shingle pandas UDF) + the reason gates run ONLY on
+      candidate pairs not in prior_pairs (pair content is immutable:
+      store rows never change and the gates are pure functions of the
+      two rows + side tables, so a gated pair never needs re-gating);
+    * connected components runs on prior ASSIGNMENTS folded to star
+      edges (cluster_id ← url) unioned with the new verified edges —
+      components of closure(E_old) ∪ E_new equal components of
+      E_old ∪ E_new, and cluster_id = component-min is preserved, so
+      the folded labels are IDENTICAL to a full recompute;
+    * the survivor window re-runs over all members (pure Column window
+      work — no Python UDF — and clusters merged by a new edge change
+      their survivor, so per-cluster reuse would need dirty tracking
+      for little gain).
+    Outputs are identical to a full recompute by construction.
+
+    timings (optional dict) receives n_cand_total / n_cand_new — the
+    delta-evidence counters the incremental tests assert on.
     """
     from dedup.cluster import assignments_with_singletons, connected_components
     from dedup.minhash import with_shingles
@@ -307,16 +454,29 @@ def streaming_verify_tail(
     )
 
     cand = candidate_pairs.select("url_a", "url_b").distinct()
+    if prior_pairs is not None:
+        # the delta: candidates not already gated in a previous drain.
+        # The near-dup stream's parquet store accumulates every pair
+        # ever emitted, so after the first drain most of `cand` is old.
+        new_cand = cand.join(
+            prior_pairs.select("url_a", "url_b"), ["url_a", "url_b"],
+            "left_anti",
+        )
+    else:
+        new_cand = cand
+    if timings is not None:
+        timings["n_cand_total"] = cand.count()
+        timings["n_cand_new"] = new_cand.count()
     # shingles recomputed from the stored norm_text for urls that appear
-    # in a candidate pair ONLY (the batch pipeline's recompute-for-
+    # in a NEW candidate pair ONLY (the batch pipeline's recompute-for-
     # survivors discipline — the wide arrays never hit a cache)
-    needed = cand.select(
+    needed = new_cand.select(
         F.explode(F.array("url_a", "url_b")).alias("url")
     ).distinct()
     sh = with_shingles(pages_store.join(needed, "url"), cfg).select(
         "url", "shingles"
     )
-    with_j = jaccard_on_pairs(cand, sh)
+    with_j = jaccard_on_pairs(new_cand, sh)
 
     feats = url_features(
         pages_store, sources,
@@ -345,8 +505,29 @@ def streaming_verify_tail(
     # pandas UDF + both feature joins per consumer — the batch rule:
     # persist iff recompute crosses a python UDF
     pairs = pairs.persist()
+    new_pairs = pairs
+    if prior_pairs is not None:
+        # full pair table for output parity (prior rows come off a
+        # cheap parquet scan, not a recompute — unionByName because the
+        # stored column order may differ from the fresh plan's)
+        pairs = new_pairs.unionByName(prior_pairs)
     edges = verified_edges(pairs, cfg, "stream")
-    slim = edges.select("url_a", "url_b").distinct().localCheckpoint(eager=True)
+    if prior_assignments is not None:
+        # fold: prior components collapse to star edges around their
+        # min-label root; union with this drain's NEW verified edges.
+        # CC input size is O(new edges + prior non-singleton urls)
+        # instead of O(all edges ever).
+        fold = prior_assignments.filter(
+            F.col("url") != F.col("cluster_id")
+        ).select(
+            F.col("cluster_id").alias("url_a"), F.col("url").alias("url_b")
+        )
+        cc_in = verified_edges(new_pairs, cfg, "stream").select(
+            "url_a", "url_b"
+        ).unionByName(fold)
+    else:
+        cc_in = edges.select("url_a", "url_b")
+    slim = cc_in.distinct().localCheckpoint(eager=True)
     assign = connected_components(slim, n_edges=slim.count())
     assign = assignments_with_singletons(assign, pages_store.select("url"))
     # two consumers (assignments write + the members join below)
@@ -369,7 +550,9 @@ def streaming_verify_tail(
     return StreamingDedupResult(
         pairs=pairs, edges=edges, assignments=assign,
         survivors=kept, rejected=rejected,
-        cached=(pairs, assign, survivors),
+        # new_pairs is the persisted object (pairs may be a derived
+        # union); release() must unpersist exactly what was pinned
+        cached=(new_pairs, assign, survivors),
     )
 
 
@@ -388,12 +571,23 @@ def run_streaming_dedup(
     timeout_s: int = 600,
     run_id: str = "stream-0",
     run_ts: str = "1970-01-01T00:00:00+00:00",
+    incremental: bool = True,
+    timings: dict | None = None,
 ) -> StreamingDedupResult:
     """One-call streaming dedup: drain the input with the two
     exactly-once streams, then run the batch verify tail over the
     accumulated stores. Re-invoking after more files land resumes both
     streams from their checkpoints and re-derives the tail over the
-    grown stores (the tail is a deterministic function of the stores)."""
+    grown stores (the tail is a deterministic function of the stores).
+
+    incremental=True (default) persists the gated pairs + assignments
+    under {work_dir}/tail_state after each drain and restricts the next
+    drain's Jaccard/gate work to candidate pairs not yet gated, folding
+    new edges into the prior assignments (see streaming_verify_tail) —
+    identical outputs, O(delta) instead of O(corpus) verify cost per
+    trigger. Clear the state dir (or pass incremental=False) if a SIDE
+    TABLE changed between drains; a changed DedupConfig invalidates the
+    state automatically."""
     for q in start_streaming_stores(
         spark, input_path, work_dir, cfg,
         watermark=watermark,
@@ -419,11 +613,21 @@ def run_streaming_dedup(
         candidate_pairs = spark.createDataFrame(
             [], "url_a string, url_b string, est_jaccard double"
         )
-    return streaming_verify_tail(
+    state_dir = f"{work_dir}/tail_state"
+    prior_pairs, prior_assign = (
+        load_tail_state(spark, state_dir, cfg)
+        if incremental
+        else (None, None)
+    )
+    res = streaming_verify_tail(
         pages_store, candidate_pairs, cfg, sources=sources,
         host_ids=host_ids, authorized_names=authorized_names, run_id=run_id,
-        run_ts=run_ts,
+        run_ts=run_ts, prior_pairs=prior_pairs,
+        prior_assignments=prior_assign, timings=timings,
     )
+    if incremental:
+        save_tail_state(state_dir, res.pairs, res.assignments, cfg)
+    return res
 
 
 def run_incremental(

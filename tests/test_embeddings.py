@@ -341,3 +341,40 @@ def test_zero_norm_query_matmul_is_defined(spark):
     zero_rows = [r for r in res if r["q_id"] == 100]
     assert len(zero_rows) == 3
     assert all(abs(r["cosine"]) < 1e-12 for r in zero_rows)
+
+
+def test_stack_rows_all_null_batch_falls_back():
+    """A batch whose embeddings are ALL null vstacks 'successfully' into
+    an (n,1) object array whose .astype raises TypeError — the fallback
+    must catch that too (one-corrupt-row-must-not-kill-the-scan covers
+    the all-corrupt batch)."""
+    import numpy as np
+    import pandas as pd
+    from dedup.embeddings import _stack_rows
+
+    s = pd.Series([None, None, None])
+    mat, keep = _stack_rows(s, np.float64)
+    assert mat.shape[0] == 0 and not keep.any()
+    mat2, keep2 = _stack_rows(s, np.float64, zero_null=True)
+    assert mat2.shape == (3, 1) and keep2.all() and (mat2 == 0).all()
+
+
+def test_hyperplane_batch_keys_null_first_row_degrades_per_row(spark):
+    """The dim probe must come from a USABLE row: a null/empty embedding
+    in the position first() happens to read must not blank the whole
+    channel — only that row degrades (it gets no bucket keys)."""
+    from dedup.embeddings import hyperplane_keys_batch
+
+    rows = [(0, None), (1, []), (2, [0.5] * 8), (3, [-0.5] * 8)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).coalesce(1)
+    got = hyperplane_keys_batch(emb, 4, [42, 43]).collect()
+    assert {r["vec_id"] for r in got} == {2, 3}
+    assert len(got) == 4  # 2 usable rows x 2 tables
+
+    # all-null corpus: empty result, not a crash
+    allnull = spark.createDataFrame(
+        [(0, None), (1, [])], "vec_id long, embedding array<float>"
+    )
+    assert hyperplane_keys_batch(allnull, 4, [42]).count() == 0

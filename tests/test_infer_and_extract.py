@@ -94,3 +94,20 @@ def test_extraction_exact_inverse_for_adversarial_text(spark):
     )
     pages = documents_to_pages(docs)  # Spark-side wrapper (escaped)
     assert extraction_mismatches(pages).count() == 0
+
+
+def test_wrapper_shaped_real_page_takes_lossy_path():
+    """A REAL crawled page that happens to match the wrapper shape must
+    NOT take the exact path: its <script> contents would be returned
+    verbatim as text. escape_wrapper_text always escapes '<', so raw
+    '<' inside the body is proof the payload is not a corpus wrapper."""
+    real = (b"<html><body><script>var x = 1;</script>"
+            b"<p>visible   text</p></body></html>")
+    got = extract_text_bytes(real)
+    assert "var x" not in got
+    assert got == "visible text"
+    # the canonical wrapper (escaped body) still round-trips exactly
+    from dedup.extract import escape_wrapper_text
+    t = "a <b> & c\n\n  double  spaced"
+    w = ("<html><body>" + escape_wrapper_text(t) + "</body></html>").encode()
+    assert extract_text_bytes(w) == t

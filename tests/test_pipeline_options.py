@@ -158,3 +158,40 @@ def test_empty_norm_text_does_not_fuse(spark):
     assign = {r["url"]: r["cluster_id"] for r in res.assignments.collect()}
     assert assign["https://zh.example/1"] == assign["https://zh.example/3"]
     assert assign["https://zh.example/1"] != assign["https://zh.example/2"]
+
+
+def test_exact_groups_raw_fallback_length_factor(spark):
+    """On the production narrow path (prepare_clean: text dropped,
+    raw_hash + text_len kept) the exact-group second factor must be the
+    RAW text length, not the length of the hash string — and identical
+    raw texts must still group while different-length CJK docs cannot
+    share a group even under a hypothetical hash collision."""
+    import datetime
+
+    from dedup.candidates import exact_groups
+    from dedup.config import DedupConfig
+    from dedup.pipeline import prepare_clean
+    from dedup.schema import PAGES_SCHEMA
+
+    ts = datetime.datetime(2024, 1, 1)
+
+    def row(url, text):
+        return (url, ts, b"<html>", text, "zh", [], [], [], ["h"], None)
+
+    pages = spark.createDataFrame(
+        [row("https://c/1", "你好世界"), row("https://c/2", "你好世界"),
+         row("https://c/3", "天地玄黄宇宙")],
+        PAGES_SCHEMA,
+    )
+    for bits in (64, 128):
+        cfg = DedupConfig(uid_bits=bits)
+        clean = prepare_clean(pages, uid_bits=bits)
+        assert "text" not in clean.columns
+        groups = exact_groups(clean, cfg).collect()
+        rep = {r["url"]: r["rep_url"] for r in groups}
+        assert rep["https://c/1"] == rep["https://c/2"] == "https://c/1"
+        assert rep["https://c/3"] == "https://c/3"
+    # uid_bits=128 narrow path carries a full md5, not a rehashed 64-bit
+    c128 = prepare_clean(pages, uid_bits=128)
+    val = c128.select("raw_hash").first()[0]
+    assert isinstance(val, str) and len(val) == 32

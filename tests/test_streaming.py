@@ -487,3 +487,168 @@ def test_cli_streaming_mode_resumes_across_invocations(spark, tmp_path):
         total = [json.loads(line) for line in f][-1]
     assert total["stage"] == "TOTAL" and total["mode"] == "streaming"
     assert total["docs"] == 3
+
+
+def test_streaming_degenerate_docs_not_banded(spark, tmp_path):
+    """Empty-norm docs (CJK under the [a-z0-9åäö] alphabet) share the
+    constant sentinel-shingle signature; banding them would pair every
+    such same-alphabet page at estimate 1.0 and the verify tail would
+    fuse them (sentinel jaccard = 1.0). The stream front-end must apply
+    the batch pipeline's bandable predicate: degenerate docs dedup only
+    via the exact watermark stage, never via LSH."""
+    import datetime
+
+    from dedup.schema import PAGES_SCHEMA
+    from dedup.streaming import streaming_near_dup_pairs
+
+    cfg = DedupConfig()
+    ts = datetime.datetime(2024, 1, 1)
+
+    def row(url, text):
+        return (url, ts, b"<html>", text, "zh", [], [], [], ["h"], None)
+
+    # two DIFFERENT CJK pages (both normalize to "") + a latin near-dup
+    # pair that must still be caught
+    cjk1 = "你好世界 这是完全不同的文件 " * 30
+    cjk2 = "天地玄黄 宇宙洪荒 日月盈昃 " * 30
+    base = "the quick brown fox jumps over the lazy dog again and again " * 10
+    near = base + "tail"
+    src = str(tmp_path / "degen_src")
+    spark.createDataFrame(
+        [row("https://z/cjk1", cjk1), row("https://z/cjk2", cjk2),
+         row("https://z/base", base)],
+        PAGES_SCHEMA,
+    ).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(
+        [row("https://z/near", near)], PAGES_SCHEMA
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = read_pages_stream(spark, src, max_files_per_trigger=1)
+    pairs = streaming_near_dup_pairs(stream, cfg)
+    q = (
+        pairs.writeStream.format("memory").queryName("degen_pairs")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "degen_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {(r["url_a"], r["url_b"]) for r in spark.sql(
+        "SELECT DISTINCT url_a, url_b FROM degen_pairs").collect()}
+    assert ("https://z/base", "https://z/near") in got
+    assert all("cjk" not in a and "cjk" not in b for a, b in got), got
+
+
+def test_incremental_tail_delta_verify_and_fold(spark, tmp_path):
+    """VERDICT r4 #1: invocation 2's tail must NOT recompute Jaccard/
+    gates for pairs already gated in invocation 1 (delta evidence via
+    the timings hook), must fold new edges into the prior assignments,
+    and must produce clusters identical to a full recompute."""
+    import datetime
+
+    import numpy as np
+
+    from dedup.schema import PAGES_SCHEMA
+    from dedup.streaming import (
+        load_tail_state,
+        run_streaming_dedup,
+        streaming_verify_tail,
+    )
+
+    cfg = DedupConfig()
+    rng = np.random.default_rng(21)
+    voc = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+           "golf", "hotel"]
+    base_words = [voc[i] for i in rng.integers(0, len(voc), 250)]
+
+    def variant(*edits):
+        w = list(base_words)
+        for pos, word in edits:
+            w[pos] = word
+        return " ".join(w)
+
+    ts = datetime.datetime(2024, 5, 1)
+
+    def row(url, text):
+        return (url, ts, b"<html>", text, "en", [], [], [], ["h"], None)
+
+    a, b, c, d = ("https://i/a", "https://i/b", "https://i/c", "https://i/d")
+    src = str(tmp_path / "inc_src")
+    work = str(tmp_path / "inc_work")
+
+    # ---- invocation 1: a + its near-dup b ----
+    for batch in ([row(a, variant())], [row(b, variant((10, "india")))]):
+        spark.createDataFrame(batch, PAGES_SCHEMA) \
+            .coalesce(1).write.mode("append").parquet(src)
+    t1: dict = {}
+    res1 = run_streaming_dedup(spark, src, work, cfg, timings=t1)
+    assert t1["n_cand_total"] == t1["n_cand_new"] == 1
+    assign1 = {r["url"]: r["cluster_id"] for r in res1.assignments.collect()}
+    assert assign1[a] == assign1[b] == a
+    res1.release()
+
+    # committed state loads for the SAME config, not for a changed one
+    assert load_tail_state(spark, f"{work}/tail_state", cfg)[0] is not None
+    other = DedupConfig(jaccard_threshold=0.5)
+    assert load_tail_state(spark, f"{work}/tail_state", other) == (None, None)
+
+    # ---- invocation 2: near-dup c (pairs with both) + unrelated d ----
+    # d uses a DISJOINT vocabulary so it shares no shingles with a/b/c
+    voc2 = ["zulu", "yankee", "xray", "whiskey", "victor", "uniform"]
+    unrel = " ".join(voc2[i] for i in rng.integers(0, len(voc2), 250))
+    spark.createDataFrame(
+        [row(c, variant((200, "juliet"))), row(d, unrel)], PAGES_SCHEMA
+    ).coalesce(1).write.mode("append").parquet(src)
+    t2: dict = {}
+    res2 = run_streaming_dedup(spark, src, work, cfg, timings=t2)
+    # the (a, b) pair was gated in invocation 1 and MUST NOT re-verify:
+    # only the two c-pairs are new
+    assert t2["n_cand_total"] == 3
+    assert t2["n_cand_new"] == 2
+
+    got = {
+        "pairs": sorted(
+            (r["url_a"], r["url_b"], r["jaccard"], r["can_merge"])
+            for r in res2.pairs.select(
+                "url_a", "url_b", "jaccard", "can_merge").collect()
+        ),
+        "edges": sorted(
+            (r["url_a"], r["url_b"]) for r in res2.edges.collect()
+        ),
+        "assign": sorted(
+            (r["url"], r["cluster_id"]) for r in res2.assignments.collect()
+        ),
+        "surv": sorted(
+            (r["cluster_id"], r["survivor_url"])
+            for r in res2.survivors.collect()
+        ),
+    }
+    res2.release()
+
+    # ---- full recompute over the same stores must match exactly ----
+    pages_store = spark.read.parquet(f"{work}/pages")
+    cand = spark.read.parquet(f"{work}/pairs")
+    full = streaming_verify_tail(pages_store, cand, cfg)
+    want = {
+        "pairs": sorted(
+            (r["url_a"], r["url_b"], r["jaccard"], r["can_merge"])
+            for r in full.pairs.select(
+                "url_a", "url_b", "jaccard", "can_merge").collect()
+        ),
+        "edges": sorted(
+            (r["url_a"], r["url_b"]) for r in full.edges.collect()
+        ),
+        "assign": sorted(
+            (r["url"], r["cluster_id"]) for r in full.assignments.collect()
+        ),
+        "surv": sorted(
+            (r["cluster_id"], r["survivor_url"])
+            for r in full.survivors.collect()
+        ),
+    }
+    full.release()
+    assert got == want
+    # the fold produced one merged cluster {a, b, c} + singleton d
+    assign2 = dict(got["assign"])
+    assert assign2[a] == assign2[b] == assign2[c] == a
+    assert assign2[d] == d
