@@ -721,6 +721,30 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming batch-verify tail (dedup/streaming.py
+    streaming_verify_tail) end-to-end over DETERMINISTIC stores: the
+    clean pages table stands in for the accumulated pages store and the
+    LSH band-collision pairs for the near-dup candidate stream. Covers
+    exact Jaccard → the full reason-gate stack → connected components →
+    singleton fill — the production streaming tail, previously at
+    unit-level only (VERDICT r4 #4)."""
+    from dedup.pages import pages_sources
+    from dedup.streaming import streaming_verify_tail
+
+    pages = load_pages(spark, sf_dir)
+    store = quarantine_filter(with_normalized(pages))
+    cand = _candidates(spark, sf_dir)
+    res = streaming_verify_tail(
+        store, cand, CFG, sources=pages_sources(pages)
+    )
+    out = res.assignments.select("url", "cluster_id")
+    # the CC result is localCheckpoint-truncated inside the tail, so
+    # releasing the caches here leaves `out` cheap to re-collect
+    res.release()
+    return out
+
+
 QUERIES = {
     "pages_derivation": q_pages,
     "normalize_flags": q_normalize,
@@ -747,6 +771,7 @@ QUERIES = {
     "authority_survivors": q_authority_survivors,
     "simhash_dup_pairs": q_simhash_pairs,
     "token_counts": q_token_counts,
+    "streaming_clusters": q_streaming_clusters,
 }
 
 
@@ -1043,43 +1068,11 @@ _EXTENT_SQL = (
     "ELSE NULL END)"
 )
 _EXTENT_CNT = _INFER_COUNT_SQL.format(x=_EXTENT_SQL).strip()
-ORACLES["pair_gate_reasons"] = f"""
-WITH dpages AS (
-  SELECT doc_id,
-         'https://' || source || '.example/doc/' || doc_id::VARCHAR AS url,
-         text, lang, source,
-         CASE WHEN doc_id % 5 = 0
-              THEN ['https://canon.example/' || md5(text)]
-              ELSE []::VARCHAR[] END AS cl,
-         CASE WHEN doc_id % 3 = 0
-              THEN ['og:lang=' || lang] ELSE []::VARCHAR[] END AS mt,
-         CASE WHEN doc_id % 37 = 0
-              THEN ['trk-' || doc_id::VARCHAR]
-              ELSE []::VARCHAR[] END AS ti,
-         CASE WHEN doc_id % 29 = 0
-              THEN [substr(text, 1, 24), 'h2']
-              ELSE [substr(text, 1, 24)] END AS hd,
-         {_EXTENT_SQL} AS extent,
-         regexp_matches(text, '[^ -~,''öäå]') AS diac,
-         {_EXTENT_CNT} AS vol_cnt
-  FROM documents
-),
-prs AS (
-  SELECT a.url AS url_a, b.url AS url_b,
-         a.source AS a_src, b.source AS b_src,
-         a.lang AS a_lang, b.lang AS b_lang,
-         a.diac AS a_diac, b.diac AS b_diac,
-         a.cl AS a_cl, b.cl AS b_cl,
-         a.mt AS a_mt, b.mt AS b_mt,
-         a.ti AS a_ti, b.ti AS b_ti,
-         a.hd AS a_hd, b.hd AS b_hd,
-         a.extent AS a_ext, b.extent AS b_ext,
-         a.vol_cnt AS a_cnt, b.vol_cnt AS b_cnt
-  FROM dpages a JOIN dpages b ON a.doc_id + 1 = b.doc_id
-),
-reasons AS (
-  SELECT url_a, url_b,
-    list_filter([
+
+# the full gate-reason list (canMerge analogue) over a_*/b_* pair
+# columns — shared by the pair_gate_reasons oracle (adjacent-doc pairs)
+# and the streaming_clusters oracle (LSH candidate pairs)
+_REASONS_LIST = f"""list_filter([
       -- noSameLOWTags
       CASE WHEN a_src = b_src
            THEN 'Both records have have LOW tag: ' || a_src END,
@@ -1141,13 +1134,92 @@ reasons AS (
                     '(from field 300a): ' || b_cnt::VARCHAR || ' - ' ||
                     a_cnt::VARCHAR
            END END
-    ], x -> x IS NOT NULL) AS rs
+    ], x -> x IS NOT NULL)"""
+
+ORACLES["pair_gate_reasons"] = f"""
+WITH dpages AS (
+  SELECT doc_id,
+         'https://' || source || '.example/doc/' || doc_id::VARCHAR AS url,
+         text, lang, source,
+         CASE WHEN doc_id % 5 = 0
+              THEN ['https://canon.example/' || md5(text)]
+              ELSE []::VARCHAR[] END AS cl,
+         CASE WHEN doc_id % 3 = 0
+              THEN ['og:lang=' || lang] ELSE []::VARCHAR[] END AS mt,
+         CASE WHEN doc_id % 37 = 0
+              THEN ['trk-' || doc_id::VARCHAR]
+              ELSE []::VARCHAR[] END AS ti,
+         CASE WHEN doc_id % 29 = 0
+              THEN [substr(text, 1, 24), 'h2']
+              ELSE [substr(text, 1, 24)] END AS hd,
+         {_EXTENT_SQL} AS extent,
+         regexp_matches(text, '[^ -~,''öäå]') AS diac,
+         {_EXTENT_CNT} AS vol_cnt
+  FROM documents
+),
+prs AS (
+  SELECT a.url AS url_a, b.url AS url_b,
+         a.source AS a_src, b.source AS b_src,
+         a.lang AS a_lang, b.lang AS b_lang,
+         a.diac AS a_diac, b.diac AS b_diac,
+         a.cl AS a_cl, b.cl AS b_cl,
+         a.mt AS a_mt, b.mt AS b_mt,
+         a.ti AS a_ti, b.ti AS b_ti,
+         a.hd AS a_hd, b.hd AS b_hd,
+         a.extent AS a_ext, b.extent AS b_ext,
+         a.vol_cnt AS a_cnt, b.vol_cnt AS b_cnt
+  FROM dpages a JOIN dpages b ON a.doc_id + 1 = b.doc_id
+),
+reasons AS (
+  SELECT url_a, url_b,
+    {_REASONS_LIST} AS rs
   FROM prs
 )
 SELECT url_a, url_b,
        coalesce(array_to_string(rs, '|'), '') AS reasons_str,
        (len(rs) = 0)::INT AS can_merge
 FROM reasons
+"""
+
+# streaming_verify_tail over deterministic stores: LSH candidates ->
+# jaccard >= threshold -> the FULL gate stack (shared _REASONS_LIST) ->
+# transitive closure -> min-url cluster labels with singleton fill.
+# The integer-micro threshold equals the production double compare:
+# (1000000*n_i)//n_u >= 800000  <=>  n_i/n_u >= 0.8 exactly.
+ORACLES["streaming_clusters"] = f"""
+WITH RECURSIVE {_PAGES_CTE.strip()}, {_NORM_CTE.strip()},
+{_CLEAN_CTE.strip()}, {_SHINGLE_CTE.strip()}, {_SIG_CTE.strip()},
+{_BANDS_CTE.strip()}, {_CAND_CTE.strip()}, {_JACC_CTE.strip()},
+gfeat AS (
+  SELECT p.url, p.source AS src, p.lang,
+         regexp_matches(p.text, '[^ -~,''öäå]') AS diac,
+         p.canonical_links AS cl, p.meta_tags AS mt,
+         p.tracking_ids AS ti, p.headings AS hd, p.extent AS ext,
+         {_INFER_COUNT_SQL.format(x="p.extent").strip()} AS cnt
+  FROM pages p
+),
+sprs AS (
+  SELECT j.url_a, j.url_b,
+         a.src AS a_src, b.src AS b_src,
+         a.lang AS a_lang, b.lang AS b_lang,
+         a.diac AS a_diac, b.diac AS b_diac,
+         a.cl AS a_cl, b.cl AS b_cl,
+         a.mt AS a_mt, b.mt AS b_mt,
+         a.ti AS a_ti, b.ti AS b_ti,
+         a.hd AS a_hd, b.hd AS b_hd,
+         a.ext AS a_ext, b.ext AS b_ext,
+         a.cnt AS a_cnt, b.cnt AS b_cnt
+  FROM jacc j
+  JOIN gfeat a ON a.url = j.url_a
+  JOIN gfeat b ON b.url = j.url_b
+  WHERE j.jaccard_micro >= {JACCARD_MICRO_THRESHOLD}
+),
+sreasons AS (
+  SELECT url_a, url_b, {_REASONS_LIST} AS rs FROM sprs
+),
+edges AS (SELECT url_a, url_b FROM sreasons WHERE len(rs) = 0),
+{_CLUSTERS_CTE.strip()}
+SELECT url, cluster_id FROM clusters
 """
 
 ORACLES["embedding_dup_pairs"] = """
