@@ -77,6 +77,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--state-cap", type=int, default=None,
                     help="streaming: max signatures retained per LSH "
                          "bucket state entry")
+    ap.add_argument("--shuffle-partitions", default="auto",
+                    help="shuffle partition count, or 'auto' (default) = "
+                         "max(cores, ceil(docs / cfg.target_docs_per_"
+                         "partition)) — the constant-partition-SIZE rule "
+                         "the scaling probes measured")
     ap.add_argument("--state-ttl-ms", type=int, default=None,
                     help="streaming: drop bucket state idle longer than "
                          "this (bounds TOTAL state for long-running "
@@ -135,6 +140,23 @@ def main(argv: list[str] | None = None) -> int:
         sources = side_sources
     else:
         ap.error("need --input or --synthetic")
+
+    # partition sizing BEFORE the first shuffle: auto = constant
+    # partition size from the corpus row count (a metadata-cheap parquet
+    # count / known synthetic n), floored at the session's core count so
+    # small inputs still feed every slot
+    if args.shuffle_partitions == "auto":
+        from dedup.session import auto_shuffle_partitions
+
+        n_docs = args.synthetic or pages.count()
+        cores = spark.sparkContext.defaultParallelism
+        parts = auto_shuffle_partitions(
+            n_docs, min_partitions=cores,
+            target_docs_per_partition=cfg.target_docs_per_partition,
+        )
+    else:
+        parts = int(args.shuffle_partitions)
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
 
     channels = set(args.channels.split(","))
     cand_channels, bypass_channels = [], []

@@ -97,7 +97,15 @@ class DedupConfig:
     # joins at most this many blocks (rarest blocks first — smallest
     # block size, then fp, deterministic); the skipped mass is reported,
     # never silent. None = unbounded (oracle/parity runs).
-    lcp_max_blocks_per_doc: int | None = 128
+    # int = fixed bound; None = unbounded (oracle/parity runs); "auto" =
+    # size the bound from the data at runtime as the exact p99 of
+    # per-doc eligible-block counts (BASELINE.md's sizing rule "cap ≥
+    # p99 eligible-block count" — 99% of docs keep every block, only
+    # the hyper-quoting tail is bounded, and the skipped mass is still
+    # reported). Computed from a collected histogram of distinct
+    # per-doc block counts (bounded by max fingerprints per doc), so it
+    # is deterministic — no approx-percentile merge-order wobble.
+    lcp_max_blocks_per_doc: int | str | None = 128
 
     # --- skew / scale hygiene --------------------------------------
     # LSH band bucket cap: buckets above this switch to O(m) star pairs.
@@ -109,6 +117,13 @@ class DedupConfig:
     # 200k corpus, mostly sub-threshold boilerplate).
     max_bucket_size: int = 16
     shuffle_partitions: int = 32
+    # auto partition sizing (session.auto_shuffle_partitions): target
+    # docs per shuffle partition — the constant-partition-SIZE rule the
+    # 4M scaling probe measured (BENCH_SCALING.json stretch_4m: 125k
+    # docs/partition holds 0.78-0.83 efficiency; 250k collapses to
+    # 0.59). cli/bench/scaling compute partitions = max(cores,
+    # ceil(docs / this)) instead of hand-picking a count.
+    target_docs_per_partition: int = 125_000
 
     # --- survivor selection ----------------------------------------
     lang_priority: tuple[str, ...] = ("fi", "sv", "en", "de", "fr", "es", "zh")

@@ -150,6 +150,126 @@ def _decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     return frames.reshape(-1, ch), rate
 
 
+def pack_avi(frames: np.ndarray, fps: int = 10) -> bytes:
+    """Write a standard uncompressed RIFF/AVI: 'vids'/'DIB ' stream of
+    24-bit BI_RGB frames ('00db' chunks, bottom-up BGR rows padded to 4
+    bytes — the same DIB layout pack_bmp writes). Accepts (n, h, w)
+    grayscale (replicated to RGB) or (n, h, w, 3) RGB uint8. Pure
+    struct+numpy, same bar as pack_bmp/pack_wav."""
+    frames = np.asarray(frames, dtype=np.uint8)
+    if frames.ndim == 3:
+        frames = np.repeat(frames[:, :, :, None], 3, axis=3)
+    n, h, w, _ = frames.shape
+    if n == 0 or h == 0 or w == 0:
+        raise ValueError(f"cannot pack empty AVI ({n} frames {w}x{h})")
+    stride = (w * 3 + 3) & ~3
+    size_image = stride * h
+
+    avih = struct.pack(
+        "<14I", 1_000_000 // max(fps, 1), size_image * fps, 0, 0x10,
+        n, 0, 1, size_image, w, h, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIi4h", b"vids", b"DIB ", 0, 0, 0, 0,
+        1, fps, 0, n, size_image, 0, 0, 0, 0, w, h,
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, size_image, 0, 0, 0, 0
+    )
+    strl = (b"LIST" + struct.pack("<I", 4 + 8 + len(strh) + 8 + len(strf))
+            + b"strl"
+            + b"strh" + struct.pack("<I", len(strh)) + strh
+            + b"strf" + struct.pack("<I", len(strf)) + strf)
+    hdrl = (b"LIST" + struct.pack("<I", 4 + 8 + len(avih) + len(strl))
+            + b"hdrl"
+            + b"avih" + struct.pack("<I", len(avih)) + avih
+            + strl)
+
+    movi_body = bytearray(b"movi")
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    for f in frames:
+        bgr = f[::-1, :, ::-1]
+        rows[:, : w * 3] = bgr.reshape(h, w * 3)
+        movi_body += b"00db" + struct.pack("<I", size_image)
+        movi_body += rows.tobytes()
+    movi = b"LIST" + struct.pack("<I", len(movi_body)) + bytes(movi_body)
+
+    payload = hdrl + movi
+    return b"RIFF" + struct.pack("<I", 4 + len(payload)) + b"AVI " + payload
+
+
+def _riff_walk(payload: bytes, pos: int, end: int):
+    """Yield (chunk_id, data_offset, data_size) over one RIFF chunk
+    level; word-aligned like _wav_chunks. A size field pointing past
+    the buffer stops the walk (truncated container → whatever parsed
+    so far, callers validate completeness)."""
+    while pos + 8 <= end:
+        cid = payload[pos:pos + 4]
+        size, = struct.unpack_from("<I", payload, pos + 4)
+        if pos + 8 + size > end:
+            return
+        yield cid, pos + 8, size
+        pos += 8 + size + (size & 1)
+
+
+def _decode_avi(payload: bytes) -> np.ndarray:
+    """Decode an uncompressed 24-bit DIB RIFF/AVI → (n, h, w, 3) RGB
+    uint8. Pure struct+numpy; compressed streams raise
+    NotImplementedError, malformed/truncated containers ValueError."""
+    w = h = None
+    bpp = comp = None
+    frame_locs: list[tuple[int, int]] = []
+    for cid, off, size in _riff_walk(payload, 12, len(payload)):
+        if cid != b"LIST":
+            continue
+        ltype = payload[off:off + 4]
+        if ltype == b"hdrl":
+            for cid2, off2, size2 in _riff_walk(
+                payload, off + 4, off + size
+            ):
+                if cid2 == b"avih" and size2 >= 56:
+                    vals = struct.unpack_from("<14I", payload, off2)
+                    w, h = int(vals[8]), int(vals[9])
+                elif cid2 == b"LIST" \
+                        and payload[off2:off2 + 4] == b"strl":
+                    for cid3, off3, size3 in _riff_walk(
+                        payload, off2 + 4, off2 + size2
+                    ):
+                        if cid3 == b"strf" and size3 >= 40:
+                            (_s, _bw, _bh, _p, bpp, comp) = (
+                                struct.unpack_from("<IiiHHI", payload, off3)
+                            )
+        elif ltype == b"movi":
+            for cid2, off2, size2 in _riff_walk(
+                payload, off + 4, off + size
+            ):
+                if cid2[2:4] in (b"db", b"dc"):
+                    frame_locs.append((off2, size2))
+    if w is None or bpp is None:
+        raise ValueError("malformed AVI: missing hdrl/avih/strf")
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError(
+            f"AVI decode supports uncompressed 24-bit DIB frames only "
+            f"(got bpp={bpp}, compression={comp}); compressed video "
+            "needs a real codec on the cluster image"
+        )
+    if w <= 0 or h is None or h <= 0:
+        raise ValueError(f"corrupt AVI dims {w}x{h}")
+    if not frame_locs:
+        raise ValueError("malformed AVI: no movi frames")
+    stride = (w * 3 + 3) & ~3
+    out = np.empty((len(frame_locs), h, w, 3), dtype=np.uint8)
+    for i, (o, s) in enumerate(frame_locs):
+        if s < stride * h:
+            raise ValueError(f"truncated AVI frame {i}")
+        rows = np.frombuffer(
+            payload, dtype=np.uint8, count=h * stride, offset=o
+        ).reshape(h, stride)
+        bgr = rows[:, : w * 3].reshape(h, w, 3)[::-1]
+        out[i] = bgr[:, :, ::-1]
+    return out
+
+
 def decode_image(payload: bytes) -> np.ndarray:
     """Image decode: REAL for uncompressed 24-bit BMP (pure struct,
     returns (h, w, 3) RGB uint8) and for the deterministic fake
@@ -213,6 +333,18 @@ def _probe_header(
                 n = chunks[b"data"][1] // (2 * max(ch, 1)) \
                     if b"data" in chunks else None
                 return "audio", None, None, int(rate), n
+        if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+            # header-only: dims + frame count from avih, no frame decode
+            for cid, off, size in _riff_walk(payload, 12, len(payload)):
+                if cid == b"LIST" and payload[off:off + 4] == b"hdrl":
+                    for cid2, off2, size2 in _riff_walk(
+                        payload, off + 4, off + size
+                    ):
+                        if cid2 == b"avih" and size2 >= 56:
+                            vals = struct.unpack_from("<14I", payload, off2)
+                            return ("video", int(vals[8]), int(vals[9]),
+                                    None, int(vals[4]))
+            return None, None, None, None, None
     except struct.error:
         # magic matched but the header is truncated/corrupt — null
         # metadata, never an exception (a bad row must not kill a scan)
@@ -356,11 +488,21 @@ def audio_features(media: DataFrame, n_windows: int = 8) -> DataFrame:
 def decode_video_frames(
     payload: bytes, n_frames: int | None = None
 ) -> np.ndarray:
-    """Video decode for the deterministic raw container: the FAKE body
-    is a stack of w×h grayscale frames ((n, h, w) uint8; trailing
-    partial frame dropped). Real video codecs (H.264/VP9) raise
-    NotImplementedError — extend the dispatch with PyAV/ffmpeg on the
-    cluster image."""
+    """Video decode: REAL for uncompressed RIFF/AVI ('00db' 24-bit DIB
+    frames, pure struct+numpy, returns (n, h, w, 3) RGB uint8); the
+    deterministic FAKE container decodes its body as a stack of w×h
+    grayscale frames ((n, h, w) uint8; trailing partial frame dropped).
+    Compressed codecs (H.264/VP9) raise NotImplementedError — extend
+    the dispatch with PyAV/ffmpeg on the cluster image."""
+    if payload is not None and payload[:4] == b"RIFF" \
+            and payload[8:12] == b"AVI ":
+        frames = _decode_avi(payload)
+        if n_frames is not None and len(frames) > 0:
+            idx = np.linspace(
+                0, len(frames) - 1, min(n_frames, len(frames))
+            ).astype(int)
+            frames = frames[idx]
+        return frames
     hdr = _parse_header(payload)
     if hdr is None or hdr[0] != "video":
         raise NotImplementedError(
@@ -396,6 +538,8 @@ def video_frame_features(
                     frames = decode_video_frames(payload, n_frames=n_sample)
                     rows = []
                     for j, frame in enumerate(frames):
+                        if frame.ndim == 3:  # real RGB decode → luma
+                            frame = frame.mean(axis=2)
                         h, w = frame.shape
                         if h == 0 or w == 0:
                             raise ValueError("zero-dim frame")
@@ -426,20 +570,89 @@ def video_frame_features(
     )
 
 
+def image_thumb_keys(
+    page_media: DataFrame, thumb: int = 8
+) -> DataFrame:
+    """(url, thumb_key): deterministic 64-bit key of each page image's
+    luma thumbnail — the media-dedup blocking key. Decode → luma →
+    thumb×thumb integer downsample → md5 → first 8 bytes as a signed
+    long. Integer pixels end-to-end (no float jitter), so the same
+    image bytes always key identically; corrupt/undecodable payloads
+    are skipped per-row (same totality policy as image_features)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            urls, keys = [], []
+            for url, payload in zip(pdf["url"], pdf["payload"]):
+                try:
+                    pix = decode_image(payload)
+                    if pix.ndim == 3:
+                        # integer luma: mean would reintroduce floats
+                        pix = (pix.astype(np.uint32).sum(axis=2) // 3)
+                    h, w = pix.shape
+                    if h == 0 or w == 0:
+                        raise ValueError("zero-dim image")
+                    ys = np.linspace(0, h - 1, thumb).astype(int)
+                    xs = np.linspace(0, w - 1, thumb).astype(int)
+                    small = pix[np.ix_(ys, xs)].astype(np.uint8)
+                except (NotImplementedError, ValueError, struct.error,
+                        IndexError):
+                    continue
+                digest = hashlib.md5(small.tobytes()).digest()
+                urls.append(url)
+                keys.append(int.from_bytes(digest[:8], "little",
+                                           signed=True))
+            yield pd.DataFrame({"url": urls, "thumb_key": keys})
+
+    return page_media.select("url", "payload").mapInPandas(
+        gen, schema="url string, thumb_key long"
+    )
+
+
+def media_dup_pairs(
+    page_media: DataFrame,
+    cfg,
+    thumb: int = 8,
+    cache_registry: list | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Media dedup CHANNEL: candidate pairs of pages carrying the same
+    image (identical luma thumbnail), built with the standard bucket →
+    pair machinery (hot-bucket star expansion for logo/boilerplate
+    images that appear on millions of pages — the channel's skew case).
+
+    page_media: (url, payload) — one image payload per page row.
+    Returns (pairs, hot_buckets). Feed `pairs` to run_dedup's
+    bypass_jaccard_channels: thumbnail identity IS the channel's
+    similarity evidence (two pages sharing an image but no text have
+    sub-threshold Jaccard by construction), but every pair still runs
+    the full reason-gate stack — the reference feeds every pair through
+    canMerge regardless of provenance
+    (marc-record-merge-melindautils.js:84-104)."""
+    from dedup.candidates import pairs_from_buckets
+
+    keys = image_thumb_keys(page_media, thumb)
+    return pairs_from_buckets(
+        keys, ["thumb_key"], cfg, cache_registry=cache_registry
+    )
+
+
 def real_media_corpus(spark, n: int = 48, seed: int = 7) -> DataFrame:
-    """Deterministic corpus of REAL containers — 24-bit BMPs and PCM-16
-    WAVs written by this module's own struct packers — so the decode →
-    feature pipelines are exercised against true bytes end-to-end."""
+    """Deterministic corpus of REAL containers — 24-bit BMPs, PCM-16
+    WAVs and uncompressed DIB AVIs written by this module's own struct
+    packers — so the decode → feature pipelines are exercised against
+    true bytes end-to-end."""
     rng = np.random.default_rng(seed)
     rows = []
     for i in range(n):
-        if i % 2 == 0:
+        if i % 3 == 0:
             w, h = int(rng.integers(16, 48)), int(rng.integers(16, 48))
             pix = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
             rows.append(
                 (i, "image", bytearray(pack_bmp(pix)), (w, h, None, None))
             )
-        else:
+        elif i % 3 == 1:
             rate = int(rng.choice([8000, 16000, 44100]))
             n_s = int(rng.integers(200, 2000))
             ch = int(rng.choice([1, 2]))
@@ -449,6 +662,13 @@ def real_media_corpus(spark, n: int = 48, seed: int = 7) -> DataFrame:
             rows.append(
                 (i, "audio", bytearray(pack_wav(pcm, rate)),
                  (None, None, rate, n_s))
+            )
+        else:
+            w, h = int(rng.integers(12, 32)), int(rng.integers(12, 32))
+            nf = int(rng.integers(2, 9))
+            vid = rng.integers(0, 256, (nf, h, w, 3), dtype=np.uint8)
+            rows.append(
+                (i, "video", bytearray(pack_avi(vid)), (w, h, None, nf))
             )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 

@@ -12,6 +12,33 @@ import os
 from pyspark.sql import SparkSession
 
 
+def auto_shuffle_partitions(
+    n_docs: int,
+    min_partitions: int = 4,
+    target_docs_per_partition: int = 125_000,
+) -> int:
+    """Shuffle-partition count from corpus size: constant partition
+    SIZE, not constant count — ceil(docs / target), floored at
+    min_partitions (pass the cluster's total cores so every slot gets
+    a task at small inputs).
+
+    The 125k-docs/partition target is the measured sizing rule from the
+    4M-doc scaling probe (BENCH_SCALING.json stretch_4m): 2M docs at 16
+    partitions and 4M at 32 both run at 125k docs/partition and scale
+    at 0.83/0.78; re-using the 2M COUNT at 4M (250k docs/partition)
+    collapses efficiency to 0.593 — partition size, not count, is the
+    invariant to carry across input scales, exactly as
+    spark.sql.files.maxPartitionBytes sizes scans. Override the target
+    via DedupConfig.target_docs_per_partition for corpora whose docs
+    are much larger/smaller than the synthetic tier's ~1 KB."""
+    import math
+
+    return max(
+        int(min_partitions),
+        math.ceil(max(int(n_docs), 1) / int(target_docs_per_partition)),
+    )
+
+
 def get_spark(
     app_name: str = "dedup",
     master: str | None = None,

@@ -53,6 +53,85 @@ def incremental_exact_dedup(
     )
 
 
+def _bucket_batch_update(
+    urls: list, seen, arr_urls: list, arr_sigs, floor: float, cap: int
+):
+    """One vectorized state update for a bucket's whole micro-batch of
+    arrivals. Semantics are EXACTLY the sequential per-arrival loop it
+    replaced (test_streaming has a property test against the reference
+    loop):
+
+    * arrival i compares against the state as it stood when i arrived —
+      prior-batch entries whose url re-arrived at an index ≤ i are
+      masked out (a re-crawl REPLACES its entry before comparing), and
+      earlier same-batch arrivals count unless a later arrival of the
+      same url sits between them;
+    * matches at estimate ≥ floor emit (min_url, max_url, est) rows;
+    * the post-batch state keeps un-replaced prior entries in order,
+      then each arrived url once at its LAST arrival position, capped
+      to the `cap` most recent.
+
+    Returns (pair_rows, urls_after, seen_after)."""
+    import numpy as np
+
+    m, n = len(arr_urls), len(urls)
+    rows: list[tuple[str, str, float]] = []
+    first_idx: dict = {}
+    last_idx: dict = {}
+    for i, u in enumerate(arr_urls):
+        first_idx.setdefault(u, i)
+        last_idx[u] = i
+    if m and n:
+        # (m, n) agreement fractions in one broadcasted compare
+        est1 = (arr_sigs[:, None, :] == seen[None, :, :]).mean(axis=2)
+        state_first = np.asarray(
+            [first_idx.get(u, m + 1) for u in urls], dtype=np.int64
+        )
+        valid1 = state_first[None, :] > np.arange(m)[:, None]
+        for i, j in zip(*np.nonzero((est1 >= floor) & valid1)):
+            u, u2 = arr_urls[int(i)], urls[int(j)]
+            a, b = (u, u2) if u < u2 else (u2, u)
+            rows.append((a, b, float(est1[i, j])))
+    if m > 1:
+        est2 = (arr_sigs[:, None, :] == arr_sigs[None, :, :]).mean(axis=2)
+        # next arrival index of the same url after j (m+1 = none):
+        # earlier arrival j is visible to arrival i only while no later
+        # same-url arrival replaced it, i.e. next_occ[j] >= i
+        next_occ = np.full(m, m + 1, dtype=np.int64)
+        nxt: dict = {}
+        for j in range(m - 1, -1, -1):
+            u = arr_urls[j]
+            if u in nxt:
+                next_occ[j] = nxt[u]
+            nxt[u] = j
+        ii = np.arange(m)
+        ua = np.asarray(arr_urls, dtype=object)
+        valid2 = (
+            (ii[None, :] < ii[:, None])
+            & (next_occ[None, :] >= ii[:, None])
+            & (ua[None, :] != ua[:, None])
+        )
+        for i, j in zip(*np.nonzero((est2 >= floor) & valid2)):
+            u, u2 = arr_urls[int(i)], arr_urls[int(j)]
+            a, b = (u, u2) if u < u2 else (u2, u)
+            rows.append((a, b, float(est2[i, j])))
+    keep_state = [j for j in range(n) if urls[j] not in first_idx]
+    keep_arr = [i for i in range(m) if last_idx[arr_urls[i]] == i]
+    urls_after = [urls[j] for j in keep_state] + [
+        arr_urls[i] for i in keep_arr
+    ]
+    parts = []
+    if keep_state:
+        parts.append(seen[keep_state])
+    if keep_arr:
+        parts.append(arr_sigs[keep_arr])
+    if parts:
+        seen_after = np.vstack(parts)
+    else:
+        seen_after = seen[:0]
+    return rows, urls_after[-cap:], seen_after[-cap:]
+
+
 def streaming_near_dup_pairs(
     pages_stream: DataFrame,
     cfg: DedupConfig,
@@ -159,32 +238,22 @@ def streaming_near_dup_pairs(
         else:
             urls = []
             seen = np.empty((0, width), dtype=np.int64)
-        rows: list[tuple[str, str, float]] = []
+        # gather the whole micro-batch's arrivals, then ONE vectorized
+        # update: all state compares and all within-batch compares are
+        # matrix ops instead of a per-arrival Python loop with an
+        # O(cap) vstack state rebuild per row
+        arr_urls: list[str] = []
+        sig_rows: list = []
         for pdf in pdf_iter:
-            for url, s in zip(pdf["url"], pdf["sig"]):
-                s_np = np.asarray(s, dtype=np.int64)
-                # a re-crawled url REPLACES its bucket entry: keeping
-                # the stale signature would emit pairs against content
-                # that no longer exists and waste cap slots on
-                # duplicates (evicting other docs under pressure)
-                if url in urls:
-                    keep = [i for i, u2 in enumerate(urls) if u2 != url]
-                    urls = [urls[i] for i in keep]
-                    seen = seen[keep]
-                if len(urls):
-                    # ONE broadcasted compare against the whole (cap ×
-                    # num_perm) state matrix — the batch kernels' trick,
-                    # instead of a per-entry Python loop
-                    est = (seen == s_np).mean(axis=1)
-                    for i in np.nonzero(est >= floor)[0]:
-                        u2 = urls[int(i)]
-                        a, b = (url, u2) if url < u2 else (u2, url)
-                        rows.append((a, b, float(est[i])))
-                urls.append(str(url))
-                seen = np.vstack([seen, s_np[None, :]])
-        # bucket cap: most-recent survivors, like the batch hot cap
-        urls = urls[-cap:]
-        seen = seen[-cap:]
+            arr_urls.extend(str(u) for u in pdf["url"])
+            sig_rows.extend(pdf["sig"])
+        arr_sigs = (
+            np.asarray([list(s) for s in sig_rows], dtype=np.int64)
+            .reshape(len(arr_urls), width)
+        )
+        rows, urls, seen = _bucket_batch_update(
+            urls, seen, arr_urls, arr_sigs, floor, cap
+        )
         state.update((urls, [[int(v) for v in row] for row in seen]))
         if state_ttl_ms is not None:
             state.setTimeoutDuration(state_ttl_ms)

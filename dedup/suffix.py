@@ -242,6 +242,37 @@ def _emit_run(run_docs: set[int], ids: list[str], out: set) -> None:
             out.add(tuple(sorted((ids[a], ids[bdoc]))))
 
 
+def _auto_block_cap(blocks: DataFrame, q: float = 0.99) -> int:
+    """EXACT p99 of per-doc eligible-block counts — BASELINE.md's LCP
+    cap sizing rule ("cap ≥ p99 eligible-block count") computed from
+    the data instead of hand-tuned. 99% of docs keep every block; only
+    the hyper-quoting tail is bounded (and its skipped mass reported).
+
+    Scale shape: one map-side-combining aggregate per level (url →
+    count, count → histogram), then a DRIVER percentile over the
+    collected histogram of DISTINCT count values — bounded by the max
+    fingerprints a doc can carry (≈ text_len / window), thousands of
+    rows at worst, never O(docs). Deterministic by construction, unlike
+    percentile_approx whose sketch merges are partition-order-dependent
+    (output fingerprints must not wobble with parallelism)."""
+    hist = (
+        blocks.groupBy("url")
+        .agg(F.count(F.lit(1)).alias("nb"))
+        .groupBy("nb")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    if not hist:
+        return 1
+    total = sum(r["cnt"] for r in hist)
+    acc = 0
+    for r in sorted(hist, key=lambda r: r["nb"]):
+        acc += r["cnt"]
+        if acc >= q * total:
+            return int(r["nb"])
+    return int(max(r["nb"] for r in hist))
+
+
 def lcp_pairs_distributed(
     pages_with_norm: DataFrame,
     cfg: DedupConfig,
@@ -339,6 +370,8 @@ def lcp_pairs_distributed(
     )
     blocks = fps.join(eligible, "fp")
     cap_blocks = cfg.lcp_max_blocks_per_doc
+    if cap_blocks == "auto":
+        cap_blocks = _auto_block_cap(blocks)
     if cap_blocks is not None:
         # per-doc bound: rank a doc's eligible blocks rarest-first and
         # keep the top cap_blocks. The window partitions by url — per-key

@@ -272,9 +272,15 @@ def main() -> None:
                     help="interleaved repeats per level; min wall wins "
                          "(the sandbox host's throughput varies ~2x "
                          "between runs, so single measurements mislead)")
-    ap.add_argument("--shuffle-partitions", type=int, default=16,
+    ap.add_argument("--shuffle-partitions", type=int, default=None,
                     help="fixed across both levels (cluster analogy: "
-                         "partitioning doesn't change when executors do)")
+                         "partitioning doesn't change when executors "
+                         "do). Default None = auto: max(high cores, "
+                         "ceil(docs/125k)) — the constant-partition-"
+                         "SIZE rule the 4M probe measured (dedup/"
+                         "session.auto_shuffle_partitions); reproduces "
+                         "the recorded protocol at every probe size "
+                         "(2M→16, 4M→32)")
     ap.add_argument("--cc-mode", choices=("loop", "hybrid"), default="loop",
                     help="loop (default) forces the distributed CC star "
                          "loop — the gate measures the large-graph "
@@ -301,6 +307,18 @@ def main() -> None:
                     help="run ONLY the Spark-framework ALU-bound scaling "
                          "control and merge it into BENCH_SCALING.json")
     args = ap.parse_args()
+
+    if args.shuffle_partitions is None:
+        sys.path.insert(0, REPO)
+        from dedup.session import auto_shuffle_partitions
+
+        docs_for_sizing = args.weak_docs if args.weak else args.docs
+        args.shuffle_partitions = auto_shuffle_partitions(
+            docs_for_sizing, min_partitions=args.high
+        )
+        print(f"[auto] shuffle_partitions = {args.shuffle_partitions} "
+              f"({docs_for_sizing} docs, high={args.high})",
+              file=sys.stderr)
 
     bench_path = os.path.join(REPO, "BENCH_SCALING.json")
     if args.alu_control:

@@ -216,3 +216,170 @@ def test_corrupt_headers_never_kill_scans(spark):
     assert image_features(media).count() == 0
     assert audio_features(media).count() == 0
     assert video_frame_features(media).count() == 0
+
+
+def test_avi_roundtrip_bit_exact():
+    """pack_avi → _decode_avi is the identity on RGB frame stacks —
+    including widths whose 3-byte rows need DIB 4-byte padding — and
+    grayscale input replicates to RGB exactly like pack_bmp."""
+    from dedup.multimodal import _decode_avi, pack_avi
+
+    rng = np.random.default_rng(23)
+    for w, h, nf in [(16, 12, 3), (17, 9, 5), (1, 1, 2), (33, 7, 1)]:
+        vid = rng.integers(0, 256, (nf, h, w, 3), dtype=np.uint8)
+        assert np.array_equal(_decode_avi(pack_avi(vid)), vid), (w, h, nf)
+    gray = rng.integers(0, 256, (4, 10, 13), dtype=np.uint8)
+    got = _decode_avi(pack_avi(gray))
+    assert np.array_equal(got, np.repeat(gray[:, :, :, None], 3, axis=3))
+
+
+def test_avi_decode_is_total_on_corrupt_payloads():
+    """Truncated containers, lying strf depth, and empty movi must
+    raise the documented error types (callers catch them per-row) —
+    never crash with an unrelated exception or return garbage."""
+    import struct as _struct
+
+    import pytest as _pytest
+
+    from dedup.multimodal import _decode_avi, decode_video_frames, pack_avi
+
+    rng = np.random.default_rng(29)
+    vid = rng.integers(0, 256, (3, 8, 8, 3), dtype=np.uint8)
+    good = pack_avi(vid)
+
+    # truncation at every prefix must raise ValueError/NotImplementedError
+    for cut in (10, 40, 120, len(good) - 50):
+        with _pytest.raises((ValueError, NotImplementedError)):
+            _decode_avi(good[:cut])
+
+    # lying strf: claim 8-bit frames → explicit NotImplementedError
+    bad_bpp = bytearray(good)
+    strf_off = bytes(good).index(b"strf") + 8
+    _struct.pack_into("<H", bad_bpp, strf_off + 14, 8)
+    with _pytest.raises(NotImplementedError):
+        _decode_avi(bytes(bad_bpp))
+
+    # non-AVI RIFF reaches the fake/compressed dispatch, not the codec
+    with _pytest.raises(NotImplementedError):
+        decode_video_frames(b"RIFF\x00\x00\x00\x00ELMO")
+
+
+def test_real_avi_video_features(spark):
+    """video_frame_features over REAL AVI bytes end-to-end: sampled
+    luma thumbnails match the local numpy pipeline on the source
+    frames, and the header-only probe reports dims + frame count."""
+    from dedup.multimodal import (
+        MEDIA_SCHEMA,
+        pack_avi,
+        video_frame_features,
+    )
+
+    rng = np.random.default_rng(31)
+    w, h, nf = 20, 12, 10
+    vid = rng.integers(0, 256, (nf, h, w, 3), dtype=np.uint8)
+    media = spark.createDataFrame(
+        [(0, "video", bytearray(pack_avi(vid)), (w, h, None, nf))],
+        MEDIA_SCHEMA,
+    )
+    meta = extract_media_meta(media).collect()[0]
+    assert (meta["kind_parsed"], meta["width"], meta["height"],
+            meta["n_frames"]) == ("video", w, h, nf)
+
+    rows = video_frame_features(media, n_sample=4, thumb=8).collect()
+    assert len(rows) == 4
+    ys = np.linspace(0, h - 1, 8).astype(int)
+    xs = np.linspace(0, w - 1, 8).astype(int)
+    for r in rows:
+        src = vid[[0, 3, 6, 9][r["frame_idx"]]].mean(axis=2)
+        want = (src[np.ix_(ys, xs)].astype(np.float32) / 255.0).ravel()
+        assert np.allclose(r["feature"], want)
+
+
+def test_media_channel_clusters_identical_images_through_gates(spark):
+    """VERDICT r4 #7 e2e: two pages carrying the SAME image but
+    completely different text (sub-threshold Jaccard) cluster via the
+    media channel; an equally-identical image pair sharing a source is
+    still gated by the reason stack (noSameLOWTags) — media evidence
+    proposes, the gates dispose."""
+    import datetime
+
+    from dedup.config import DedupConfig
+    from dedup.multimodal import media_dup_pairs, pack_avi, pack_bmp
+    from dedup.pipeline import run_dedup
+    from dedup.schema import PAGES_SCHEMA, SOURCES_SCHEMA
+
+    rng = np.random.default_rng(41)
+    img1 = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+    img2 = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+    vocabs = [
+        "alpha bravo charlie delta echo foxtrot",
+        "golf hotel india juliet kilo lima",
+        "mike november oscar papa quebec romeo",
+        "sierra tango uniform victor whiskey xray",
+    ]
+
+    ts = datetime.datetime(2024, 6, 1)
+
+    def page(url, vocab):
+        words = vocab.split()
+        text = " ".join(words[i] for i in rng.integers(0, len(words), 200))
+        return (url, ts, b"<html>", text, "en", [], [], [], ["h"], None)
+
+    a, b = "https://m/a", "https://m/b"
+    c, d = "https://m/c", "https://m/d"
+    pages = spark.createDataFrame(
+        [page(a, vocabs[0]), page(b, vocabs[1]),
+         page(c, vocabs[2]), page(d, vocabs[3])],
+        PAGES_SCHEMA,
+    )
+    # a & b carry img1 (different sources); c & d carry img2 (SAME
+    # source) — identical thumbnail evidence, opposite gate outcomes
+    media = spark.createDataFrame(
+        [(a, bytearray(pack_bmp(img1))), (b, bytearray(pack_bmp(img1))),
+         (c, bytearray(pack_bmp(img2))), (d, bytearray(pack_bmp(img2)))],
+        "url string, payload binary",
+    )
+    sources = spark.createDataFrame(
+        [(a, "s1", None), (b, "s2", None),
+         (c, "s3", None), (d, "s3", None)],
+        SOURCES_SCHEMA,
+    )
+
+    cfg = DedupConfig()
+    pairs, hot = media_dup_pairs(media, cfg)
+    got_pairs = {(r["url_a"], r["url_b"]) for r in pairs.collect()}
+    assert got_pairs == {(a, b), (c, d)}
+    assert hot.count() == 0
+
+    res = run_dedup(
+        pages, cfg, sources=sources, bypass_jaccard_channels=[pairs]
+    )
+    assign = {r["url"]: r["cluster_id"] for r in res.assignments.collect()}
+    assert assign[a] == assign[b]        # media evidence merged a & b
+    assert assign[c] != assign[d]        # source overlap gated c & d
+    edges = {(r["url_a"], r["url_b"]) for r in res.edges.collect()}
+    assert (c, d) not in edges and (d, c) not in edges
+    res.release()
+
+    # the gate fires with the verbatim reference reason (same stack the
+    # bypass channel runs inside run_dedup)
+    from dedup.normalize import with_normalized
+    from dedup.verify import attach_features, pair_reasons, url_features
+
+    feats = url_features(with_normalized(pages), sources)
+    gated = {
+        (r["url_a"], r["url_b"]): r["reasons"]
+        for r in pair_reasons(attach_features(pairs, feats), cfg)
+        .select("url_a", "url_b", "reasons").collect()
+    }
+    assert "Both records have have LOW tag: s3" in gated[(c, d)]
+    assert not gated[(a, b)]  # nothing objects to the merged pair
+
+    # a video payload keys nothing (image channel) — skipped, not fatal
+    vid_media = spark.createDataFrame(
+        [(a, bytearray(pack_avi(rng.integers(0, 256, (2, 8, 8, 3),
+                                             dtype=np.uint8))))],
+        "url string, payload binary",
+    )
+    vpairs, _ = media_dup_pairs(vid_media, cfg)
+    assert vpairs.count() == 0

@@ -195,3 +195,20 @@ def test_exact_groups_raw_fallback_length_factor(spark):
     c128 = prepare_clean(pages, uid_bits=128)
     val = c128.select("raw_hash").first()[0]
     assert isinstance(val, str) and len(val) == 32
+
+
+def test_auto_shuffle_partitions_rule():
+    """Constant-partition-SIZE sizing: reproduces the recorded scaling
+    protocol at every probe size and floors at the core count."""
+    from dedup.session import auto_shuffle_partitions
+
+    assert auto_shuffle_partitions(2_000_000, min_partitions=8) == 16
+    assert auto_shuffle_partitions(4_000_000, min_partitions=8) == 32
+    # small corpora keep every core fed instead of starving parallelism
+    assert auto_shuffle_partitions(2_000, min_partitions=8) == 8
+    assert auto_shuffle_partitions(2_000, min_partitions=32) == 32
+    # overridable target (docs much larger than the synthetic ~1 KB)
+    assert auto_shuffle_partitions(
+        1_000_000, min_partitions=4, target_docs_per_partition=50_000
+    ) == 20
+    assert auto_shuffle_partitions(0, min_partitions=4) == 4

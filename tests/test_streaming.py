@@ -652,3 +652,81 @@ def test_incremental_tail_delta_verify_and_fold(spark, tmp_path):
     assign2 = dict(got["assign"])
     assert assign2[a] == assign2[b] == assign2[c] == a
     assert assign2[d] == d
+
+
+def _bucket_reference_loop(urls, seen, arr_urls, arr_sigs, floor, cap):
+    """The sequential per-arrival loop _bucket_batch_update replaced —
+    kept as the semantics oracle for the property test below."""
+    import numpy as np
+
+    urls = list(urls)
+    seen = seen.copy()
+    rows = []
+    for url, s_np in zip(arr_urls, arr_sigs):
+        if url in urls:
+            keep = [i for i, u2 in enumerate(urls) if u2 != url]
+            urls = [urls[i] for i in keep]
+            seen = seen[keep]
+        if len(urls):
+            est = (seen == s_np).mean(axis=1)
+            for i in np.nonzero(est >= floor)[0]:
+                u2 = urls[int(i)]
+                a, b = (url, u2) if url < u2 else (u2, url)
+                rows.append((a, b, float(est[i])))
+        urls.append(str(url))
+        seen = np.vstack([seen, s_np[None, :]])
+    return rows, urls[-cap:], seen[-cap:]
+
+
+def test_bucket_batch_update_matches_reference_loop():
+    """The vectorized micro-batch state update must reproduce the
+    sequential loop exactly — pairs (as a multiset), post-batch state
+    order, and estimates — including re-crawl replacement inside the
+    batch and across the state boundary, at a 1000-row micro-batch."""
+    import numpy as np
+
+    from dedup.streaming import _bucket_batch_update
+
+    rng = np.random.default_rng(99)
+    width, floor, cap = 16, 0.5, 32
+
+    def rand_sig():
+        return rng.integers(0, 4, size=width).astype(np.int64)
+
+    for trial in range(5):
+        n_state = int(rng.integers(0, 20))
+        state_urls = [f"https://u/{i}" for i in range(n_state)]
+        state_sigs = (
+            np.vstack([rand_sig() for _ in range(n_state)])
+            if n_state else np.empty((0, width), dtype=np.int64)
+        )
+        m = 1000 if trial == 0 else int(rng.integers(1, 60))
+        # arrivals drawn from a small url pool → many in-batch
+        # re-crawls AND collisions with state urls
+        pool = state_urls + [f"https://v/{i}" for i in range(30)]
+        arr_urls = [pool[i] for i in rng.integers(0, len(pool), m)]
+        # low-cardinality sig values → many pairs at/above the floor
+        arr_sigs = np.vstack([rand_sig() for _ in range(m)])
+
+        got = _bucket_batch_update(
+            state_urls, state_sigs, arr_urls, arr_sigs, floor, cap
+        )
+        want = _bucket_reference_loop(
+            state_urls, state_sigs, arr_urls, arr_sigs, floor, cap
+        )
+        assert sorted(got[0]) == sorted(want[0]), f"trial {trial}: pairs"
+        assert got[1] == want[1], f"trial {trial}: state urls"
+        assert np.array_equal(got[2], want[2]), f"trial {trial}: state sigs"
+
+
+def test_bucket_batch_update_empty_arrivals():
+    import numpy as np
+
+    from dedup.streaming import _bucket_batch_update
+
+    seen = np.ones((2, 4), dtype=np.int64)
+    rows, urls, after = _bucket_batch_update(
+        ["a", "b"], seen, [], np.empty((0, 4), dtype=np.int64), 0.5, 16
+    )
+    assert rows == [] and urls == ["a", "b"]
+    assert np.array_equal(after, seen)

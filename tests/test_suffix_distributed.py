@@ -222,3 +222,64 @@ def test_per_doc_block_cap_recall_curve(spark):
     # confined to head-involved pairs; sizing rule = cap ≥ the p99 doc's
     # ELIGIBLE (shared) block count ≈ 5 × its quoted-passage count
     assert r128 >= 0.70 and r32 >= 0.35
+
+
+def test_lcp_auto_cap_beats_fixed_default(spark):
+    """lcp_max_blocks_per_doc="auto" sizes the per-doc bound from the
+    data as the exact p99 of eligible-block counts (BASELINE.md's
+    sizing rule), instead of the hand-tuned 128. On the same skewed
+    corpus as the recall-curve test: auto recall >= fixed-128 recall,
+    the overflowing head's skipped mass is still reported, and the
+    under-cap tail is untouched."""
+    import numpy as np
+
+    rng = np.random.default_rng(17)  # same corpus as the curve test
+    letters = np.array(list("abcdefghijklmnopqrstuvwxyz "))
+
+    def rand_text(n):
+        return "".join(rng.choice(letters, n))
+
+    pool = [rand_text(100) for _ in range(200)]
+    docs: list[tuple[str, str]] = []
+    quoted: dict[str, set[int]] = {}
+    for i in range(100):
+        q = int(rng.integers(30, 61)) if i < 10 else int(rng.integers(1, 7))
+        idx = set(map(int, rng.choice(200, size=q, replace=False)))
+        url = f"https://q.example/d{i}"
+        body = " ".join(
+            p for j in sorted(idx) for p in (rand_text(40), pool[j])
+        )
+        docs.append((url, body))
+        quoted[url] = idx
+    truth = {
+        tuple(sorted((u1, u2)))
+        for i, (u1, _) in enumerate(docs)
+        for u2, _ in docs[i + 1 :]
+        if quoted[u1] & quoted[u2]
+    }
+    df = spark.createDataFrame(docs, ["url", "norm_text"]).repartition(8)
+
+    def run(cap):
+        pairs, _hot, skipped = lcp_pairs_distributed(
+            df, DedupConfig(lcp_max_blocks_per_doc=cap), min_lcp=64,
+            return_stats=True,
+        )
+        got = {(r["url_a"], r["url_b"]) for r in pairs.collect()}
+        sk = {r["url"]: r["n_skipped_blocks"] for r in skipped.collect()}
+        return got, sk
+
+    got128, _sk128 = run(128)
+    got_auto, sk_auto = run("auto")
+    r128 = len(got128 & truth) / len(truth)
+    r_auto = len(got_auto & truth) / len(truth)
+    print(f"\n[lcp-auto-cap] recall@128={r128:.3f} recall@auto={r_auto:.3f} "
+          f"auto-skipped-docs={len(sk_auto)}")
+    # the sizing rule holds: p99 covers every doc the fixed default
+    # covered AND the heads it truncated
+    assert r_auto >= r128
+    assert got_auto >= got128
+    # only docs above the p99 are bounded (about 1% of the corpus) —
+    # skips are still REPORTED, never silent
+    assert 0 < len(sk_auto) <= 3
+    # the bounded docs are heads, not tail docs
+    assert all(len(quoted[u]) >= 30 for u in sk_auto)
