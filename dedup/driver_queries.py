@@ -745,6 +745,59 @@ def q_streaming_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_media_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media (thumbnail-hash) dedup channel END-TO-END
+    (dedup/multimodal.py image_thumb_keys + media_dup_pairs): each page
+    gets a REAL 24-bit BMP payload generated deterministically from a
+    per-url image class, the channel decodes the bytes, downsamples to
+    the luma thumbnail key, and expands buckets into candidate pairs
+    with the production bucket/star machinery at the DEFAULT bucket cap
+    (16) — so this is also the first oracle-level coverage of the
+    hot-bucket star expansion (every other oracle query uncaps it; the
+    reference analogue is the pre-canMerge candidate listing,
+    /root/reference/lib/marc-record-merge-melindautils.js:74-84).
+
+    The oracle replicates the bucket semantics independently in SQL:
+    pages pair iff they share the image class; over-cap classes emit
+    star pairs around the min-url hub, sub-cap classes all pairs. The
+    pixel generator makes distinct classes provably distinct at the
+    thumbnail grid's (0,0) sample (cls*37 mod 256 is injective below
+    256), so thumbnail identity == class identity and any decode /
+    downsample / keying defect breaks the match."""
+    from dedup.multimodal import media_dup_pairs
+
+    pages = load_pages(spark, sf_dir)
+    keyed = pages.select(
+        "url", (h60(F.col("url")) % F.lit(24)).alias("img_cls")
+    )
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from dedup.multimodal import pack_bmp
+
+        for pdf in batches:
+            payloads = []
+            for cls in pdf["img_cls"]:
+                cls = int(cls)
+                w = 16 + (cls % 5) * 4
+                h = 12 + (cls % 3) * 8
+                r = np.arange(h, dtype=np.uint32)[:, None]
+                c = np.arange(w, dtype=np.uint32)[None, :]
+                v = ((cls * 37 + 11 * r + 7 * c) % 256).astype(np.uint8)
+                payloads.append(pack_bmp(v))
+            yield pd.DataFrame({"url": pdf["url"], "payload": payloads})
+
+    page_media = keyed.mapInPandas(gen, "url string, payload binary")
+    # production DEFAULT cap (16) — unlike CFG, which uncaps buckets so
+    # the uncapped-self-join oracles coincide; here the oracle models
+    # the cap explicitly
+    cfg = DedupConfig(hash_mode="portable")
+    pairs, _hot = media_dup_pairs(page_media, cfg)
+    return pairs.select("url_a", "url_b")
+
+
 QUERIES = {
     "pages_derivation": q_pages,
     "normalize_flags": q_normalize,
@@ -772,6 +825,7 @@ QUERIES = {
     "simhash_dup_pairs": q_simhash_pairs,
     "token_counts": q_token_counts,
     "streaming_clusters": q_streaming_clusters,
+    "media_dup_pairs": q_media_pairs,
 }
 
 
@@ -1329,4 +1383,29 @@ SELECT url,
                  + length(regexp_replace(text, '[0-9A-Za-zÀ-ÿ\\s]+', '', 'g'))
        END::BIGINT AS bpe_tokens
 FROM pages
+"""
+
+ORACLES["media_dup_pairs"] = f"""
+WITH {_PAGES_CTE.strip()},
+keyed AS (
+  SELECT url, ({_h60('url')} % 24) AS cls FROM pages
+),
+stats AS (
+  SELECT cls, count(*) AS n, min(url) AS hub FROM keyed GROUP BY cls
+),
+small_pairs AS (
+  SELECT a.url AS url_a, b.url AS url_b
+  FROM keyed a
+  JOIN keyed b ON a.cls = b.cls AND a.url < b.url
+  JOIN stats s ON s.cls = a.cls
+  WHERE s.n <= 16
+),
+star_pairs AS (
+  SELECT s.hub AS url_a, k.url AS url_b
+  FROM keyed k JOIN stats s ON s.cls = k.cls
+  WHERE s.n > 16 AND k.url <> s.hub
+)
+SELECT url_a, url_b FROM small_pairs
+UNION
+SELECT url_a, url_b FROM star_pairs
 """

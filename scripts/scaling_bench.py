@@ -303,6 +303,10 @@ def main() -> None:
                          "leg at 2M docs otherwise)")
     ap.add_argument("--no-corpus-cache", dest="corpus_cache",
                     action="store_false")
+    ap.add_argument("--record-as", default=None,
+                    help="store this run's report under the named key in "
+                         "BENCH_SCALING.json (e.g. stretch_4m_auto) "
+                         "instead of replacing the top-level gate row")
     ap.add_argument("--alu-control", action="store_true",
                     help="run ONLY the Spark-framework ALU-bound scaling "
                          "control and merge it into BENCH_SCALING.json")
@@ -389,22 +393,34 @@ def main() -> None:
                     "bus on this host; a real N->4N executor scale-up "
                     "multiplies buses)",
         }
+    prev = {}
     if os.path.exists(bench_path):
         with open(bench_path) as f:
             prev = json.load(f)
-        for key in ("weak_scaling", "efficiency_vs_docs", "hybrid_absolute",
-                    "spark_alu_control"):
-            if key in prev:
-                report[key] = prev[key]
-    # every pinned protocol run extends the efficiency-vs-size trend
-    # (the strongest evidence that the non-scaling term is constant
-    # driver wall); unpinned smoke runs stay out of it
-    if args.pin:
-        trend = report.setdefault("efficiency_vs_docs", {})
-        trend[str(args.docs)] = report["scaling_efficiency"]
+    if args.record_as:
+        # side-record (e.g. a stretch probe): store the whole report
+        # under the named key, leave the top-level gate row untouched
+        merged = prev
+        merged[args.record_as] = report
+        if args.pin:
+            trend = merged.setdefault("efficiency_vs_docs", {})
+            trend[str(args.docs)] = report["scaling_efficiency"]
+    else:
+        # gate row: report becomes the top level; carry forward every
+        # prior side-record key (weak_scaling, stretch_*, controls, …)
+        for key, val in prev.items():
+            if key not in report:
+                report[key] = val
+        # every pinned protocol run extends the efficiency-vs-size trend
+        # (the strongest evidence that the non-scaling term is constant
+        # driver wall); unpinned smoke runs stay out of it
+        if args.pin:
+            trend = report.setdefault("efficiency_vs_docs", {})
+            trend[str(args.docs)] = report["scaling_efficiency"]
+        merged = report
     print(json.dumps(report, indent=2))
     with open(bench_path, "w") as f:
-        json.dump(report, f, indent=2)
+        json.dump(merged, f, indent=2)
 
 
 if __name__ == "__main__":
