@@ -29,7 +29,12 @@ sys.path.insert(0, os.path.dirname(_pkg_dir))
 
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--input", help="pages parquet directory")
+    ap.add_argument("--input", help="pages input directory")
+    ap.add_argument("--input-format", choices=("parquet", "jsonl"),
+                    default="parquet",
+                    help="jsonl = one object per line with url+text "
+                         "(+warc_ts_epoch/lang/source), explicit schema "
+                         "(dedup/pages.py load_pages_jsonl)")
     ap.add_argument("--synthetic", type=int, default=0,
                     help="generate a seeded synthetic corpus of N docs")
     ap.add_argument("--seed", type=int, default=42)
@@ -136,7 +141,12 @@ def main(argv: list[str] | None = None) -> int:
         if side_sources is not None:
             sources = side_sources
     elif args.input:
-        pages = spark.read.parquet(args.input)
+        if args.input_format == "jsonl":
+            from dedup.pages import load_pages_jsonl
+
+            pages = load_pages_jsonl(spark, args.input)
+        else:
+            pages = spark.read.parquet(args.input)
         sources = side_sources
     else:
         ap.error("need --input or --synthetic")

@@ -26,7 +26,12 @@ from dedup.embeddings import brute_force_topk
 from dedup.hashing import h60
 from dedup.minhash import explode_bands, signatures, with_shingles
 from dedup.normalize import with_normalized, quarantine_filter
-from dedup.pages import EPOCH_BASE, TS_STEP_SECONDS, load_pages
+from dedup.pages import (
+    EPOCH_BASE,
+    TS_STEP_SECONDS,
+    load_documents,
+    load_pages,
+)
 from dedup.survivor import select_survivors
 from dedup.textstats import (
     lang_id,
@@ -798,6 +803,64 @@ def q_media_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("url_a", "url_b")
 
 
+def q_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL web-corpus ingest END-TO-END (dedup/pages.py
+    load_pages_jsonl): the documents table is deterministically lowered
+    to a JSONL landing directory (Spark's JSON writer emits one object
+    per line and OMITS null fields — exactly the C4/CC drop contract,
+    where optional metadata is an absent key, not an explicit null),
+    then read back through the production explicit-schema PERMISSIVE
+    reader. Two null channels are exercised: warc_ts_epoch absent when
+    doc_id % 11 = 3, lang absent when doc_id % 7 = 2. The returned
+    text hash proves the write→read roundtrip is byte-exact (newlines,
+    quotes and non-ASCII all pass through JSON escaping); the epoch
+    recast proves timestamp_seconds∘cast(long) is the identity under
+    the UTC session. The oracle models the derivation directly off the
+    documents view, so any reader defect (schema drift, wrong null
+    semantics, lossy escaping) breaks the match.
+
+    Reference analogue: the ingest seam where records enter merge
+    validation (/root/reference/lib/marc-record-merge-melindautils.js:36-60
+    takes already-parsed records; the parse contract lives at the
+    caller) — here the contract is pinned as an oracle-checked schema.
+    """
+    import hashlib
+
+    from dedup.pages import load_pages_jsonl
+
+    docs = load_documents(spark, sf_dir)
+    landing = (
+        "/tmp/dedup_jsonl_ingest_"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    )
+    (
+        docs.select(
+            F.concat(
+                F.lit("https://"), F.col("source"), F.lit(".example/doc/"),
+                F.col("doc_id").cast("string"),
+            ).alias("url"),
+            F.when(
+                F.col("doc_id") % 11 != 3,
+                F.lit(EPOCH_BASE) + F.col("doc_id") * F.lit(TS_STEP_SECONDS),
+            ).alias("warc_ts_epoch"),
+            "text",
+            F.when(F.col("doc_id") % 7 != 2, F.col("lang")).alias("lang"),
+            "source",
+        )
+        .write.mode("overwrite")
+        .json(landing)
+    )
+    pages = load_pages_jsonl(spark, landing)
+    return pages.select(
+        "url",
+        F.unix_timestamp("warc_ts").cast("long").alias("warc_ts_epoch"),
+        F.length("text").cast("long").alias("n_chars"),
+        h60(F.col("text")).alias("text_h"),
+        "lang",
+        "source",
+    )
+
+
 QUERIES = {
     "pages_derivation": q_pages,
     "normalize_flags": q_normalize,
@@ -826,6 +889,7 @@ QUERIES = {
     "token_counts": q_token_counts,
     "streaming_clusters": q_streaming_clusters,
     "media_dup_pairs": q_media_pairs,
+    "jsonl_ingest": q_jsonl_ingest,
 }
 
 
@@ -1408,4 +1472,18 @@ star_pairs AS (
 SELECT url_a, url_b FROM small_pairs
 UNION
 SELECT url_a, url_b FROM star_pairs
+"""
+
+# the oracle models the JSONL lowering + explicit-schema read directly
+# off the documents view: the Spark side must reproduce these values
+# through an actual write→read roundtrip of the landing files
+ORACLES["jsonl_ingest"] = f"""
+SELECT 'https://' || source || '.example/doc/' || doc_id::VARCHAR AS url,
+       CASE WHEN doc_id % 11 <> 3
+            THEN (1704067200 + doc_id * 60) END::BIGINT AS warc_ts_epoch,
+       length(text)::BIGINT AS n_chars,
+       {_h60('text')} AS text_h,
+       CASE WHEN doc_id % 7 <> 2 THEN lang END AS lang,
+       source
+FROM documents
 """

@@ -102,6 +102,39 @@ def load_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     return documents_to_pages(load_documents(spark, sf_dir))
 
 
+# contract for JSONL web-corpus drops (the shape C4/CC-derived corpora
+# ship in): one JSON object per line, `url` + `text` required,
+# `warc_ts_epoch` (seconds) / `lang` / `source` optional — missing
+# fields surface as nulls and the pair gates degrade via the same
+# column-presence guards as the plain 5-column parquet ingest
+# (tests/test_plain_ingest.py).
+JSONL_PAGES_SCHEMA = (
+    "url string, warc_ts_epoch bigint, text string, lang string, "
+    "source string"
+)
+
+
+def load_pages_jsonl(spark: SparkSession, path: str) -> DataFrame:
+    """Read a JSONL landing directory into the minimal pages shape.
+
+    The schema is EXPLICIT, never inferred: at the 100-TB design point
+    schema inference is a full extra pass over the input before the
+    job proper starts (Spark samples every file without
+    `spark.sql.files.maxPartitionBytes`-bounded limits for JSON), and
+    an inferred type drifting with the sample (warc_ts_epoch string vs
+    bigint) would silently change downstream casts. Malformed lines
+    follow Spark's PERMISSIVE default — nulls, never a failed task —
+    matching the pipeline's corrupt-row totality policy."""
+    raw = spark.read.schema(JSONL_PAGES_SCHEMA).json(path)
+    return raw.select(
+        "url",
+        F.timestamp_seconds(F.col("warc_ts_epoch")).alias("warc_ts"),
+        "text",
+        "lang",
+        "source",
+    )
+
+
 def pages_sources(pages: DataFrame) -> DataFrame:
     """Source-membership side table (LOW/SID analogue) from a pages DF
     that carries a `source` column: one (url, source, source_local_id)
