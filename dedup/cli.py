@@ -30,11 +30,13 @@ sys.path.insert(0, os.path.dirname(_pkg_dir))
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", help="pages input directory")
-    ap.add_argument("--input-format", choices=("parquet", "jsonl"),
+    ap.add_argument("--input-format", choices=("parquet", "jsonl", "warc"),
                     default="parquet",
                     help="jsonl = one object per line with url+text "
                          "(+warc_ts_epoch/lang/source), explicit schema "
-                         "(dedup/pages.py load_pages_jsonl)")
+                         "(dedup/pages.py load_pages_jsonl); warc = a "
+                         "directory of .warc/.warc.gz response-record "
+                         "shards, one task per shard (dedup/warc.py)")
     ap.add_argument("--synthetic", type=int, default=0,
                     help="generate a seeded synthetic corpus of N docs")
     ap.add_argument("--seed", type=int, default=42)
@@ -145,6 +147,10 @@ def main(argv: list[str] | None = None) -> int:
             from dedup.pages import load_pages_jsonl
 
             pages = load_pages_jsonl(spark, args.input)
+        elif args.input_format == "warc":
+            from dedup.warc import load_pages_warc
+
+            pages = load_pages_warc(spark, args.input)
         else:
             pages = spark.read.parquet(args.input)
         sources = side_sources

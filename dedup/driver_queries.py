@@ -861,6 +861,41 @@ def q_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC sink → source roundtrip END-TO-END (dedup/warc.py): the
+    pages table is lowered to real CC-convention .warc.gz shards
+    (member-per-record gzip, executor-side writes via the
+    write_warc_shards sink), then read back through the production
+    binaryFile + mapInPandas reader, which parses the WARC/HTTP framing
+    and re-extracts text from the html payload in the same pass. The
+    returned text hash therefore proves the ENTIRE loop — wrapper
+    escaping, WARC record framing, per-record gzip, shard listing,
+    parse, HTTP split, extraction inverse — is byte-exact per url; the
+    epoch recast proves WARC-Date's second-precision ISO form survives.
+    The oracle models the derivation directly off the documents view
+    and never sees the archive bytes."""
+    import hashlib
+    import shutil
+
+    from dedup.warc import load_pages_warc, write_warc_shards
+
+    landing = (
+        "/tmp/dedup_warc_ingest_"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    )
+    shutil.rmtree(landing, ignore_errors=True)
+    pages = load_pages(spark, sf_dir).select("url", "warc_ts", "html")
+    manifest = write_warc_shards(pages, landing, n_shards=8)
+    manifest.count()  # materialize the shard writes
+    back = load_pages_warc(spark, landing)
+    return back.select(
+        "url",
+        F.unix_timestamp("warc_ts").cast("long").alias("warc_ts_epoch"),
+        F.length("text").cast("long").alias("n_chars"),
+        h60(F.col("text")).alias("text_h"),
+    )
+
+
 QUERIES = {
     "pages_derivation": q_pages,
     "normalize_flags": q_normalize,
@@ -890,6 +925,7 @@ QUERIES = {
     "streaming_clusters": q_streaming_clusters,
     "media_dup_pairs": q_media_pairs,
     "jsonl_ingest": q_jsonl_ingest,
+    "warc_ingest": q_warc_ingest,
 }
 
 
@@ -1485,5 +1521,15 @@ SELECT 'https://' || source || '.example/doc/' || doc_id::VARCHAR AS url,
        {_h60('text')} AS text_h,
        CASE WHEN doc_id % 7 <> 2 THEN lang END AS lang,
        source
+FROM documents
+"""
+
+# models the sink→source WARC roundtrip: the Spark side must reproduce
+# these values through real archive bytes (framing + gzip + extraction)
+ORACLES["warc_ingest"] = f"""
+SELECT 'https://' || source || '.example/doc/' || doc_id::VARCHAR AS url,
+       (1704067200 + doc_id * 60)::BIGINT AS warc_ts_epoch,
+       length(text)::BIGINT AS n_chars,
+       {_h60('text')} AS text_h
 FROM documents
 """
