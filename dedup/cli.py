@@ -290,6 +290,7 @@ def _run_streaming(
         state_ttl_ms=args.state_ttl_ms,
         run_id=args.run_id,
         run_ts=datetime.now(timezone.utc).isoformat(timespec="seconds"),
+        input_format=args.input_format,
     )
     for name, df in (
         ("pairs", res.pairs),

@@ -125,7 +125,10 @@ def load_pages_jsonl(spark: SparkSession, path: str) -> DataFrame:
     bigint) would silently change downstream casts. Malformed lines
     follow Spark's PERMISSIVE default — nulls, never a failed task —
     matching the pipeline's corrupt-row totality policy."""
-    raw = spark.read.schema(JSONL_PAGES_SCHEMA).json(path)
+    return _jsonl_project(spark.read.schema(JSONL_PAGES_SCHEMA).json(path))
+
+
+def _jsonl_project(raw: DataFrame) -> DataFrame:
     return raw.select(
         "url",
         F.timestamp_seconds(F.col("warc_ts_epoch")).alias("warc_ts"),
@@ -133,6 +136,20 @@ def load_pages_jsonl(spark: SparkSession, path: str) -> DataFrame:
         "lang",
         "source",
     )
+
+
+def read_pages_stream_jsonl(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """Streaming twin of load_pages_jsonl — JSONL drops landing in
+    `path` as a pages stream (same explicit schema, same PERMISSIVE
+    totality, same projection), for the exactly-once streaming stores."""
+    raw = (
+        spark.readStream.schema(JSONL_PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(path)
+    )
+    return _jsonl_project(raw)
 
 
 def pages_sources(pages: DataFrame) -> DataFrame:

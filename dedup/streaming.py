@@ -406,6 +406,25 @@ class StreamingDedupResult:
                 pass
 
 
+def _open_pages_stream(
+    spark: SparkSession,
+    input_path: str,
+    input_format: str,
+    max_files_per_trigger: int,
+) -> DataFrame:
+    if input_format == "warc":
+        from dedup.warc import read_pages_stream_warc
+
+        return read_pages_stream_warc(spark, input_path, max_files_per_trigger)
+    if input_format == "jsonl":
+        from dedup.pages import read_pages_stream_jsonl
+
+        return read_pages_stream_jsonl(spark, input_path, max_files_per_trigger)
+    if input_format != "parquet":
+        raise ValueError(f"unknown streaming input format {input_format!r}")
+    return read_pages_stream(spark, input_path, max_files_per_trigger)
+
+
 def start_streaming_stores(
     spark: SparkSession,
     input_path: str,
@@ -415,6 +434,7 @@ def start_streaming_stores(
     max_files_per_trigger: int = 1,
     state_cap: int | None = None,
     state_ttl_ms: int | None = None,
+    input_format: str = "parquet",
 ) -> list:
     """Start the two exactly-once streams the verify tail consumes:
 
@@ -433,7 +453,9 @@ def start_streaming_stores(
     onto the pages store discards it — correct, because the surviving
     twin carries the same content through verification.
     """
-    stream = read_pages_stream(spark, input_path, max_files_per_trigger)
+    stream = _open_pages_stream(
+        spark, input_path, input_format, max_files_per_trigger
+    )
     pages_q = (
         incremental_exact_dedup(stream, cfg, watermark)
         .drop("html")
@@ -443,7 +465,9 @@ def start_streaming_stores(
         .trigger(availableNow=True)
         .start()
     )
-    stream2 = read_pages_stream(spark, input_path, max_files_per_trigger)
+    stream2 = _open_pages_stream(
+        spark, input_path, input_format, max_files_per_trigger
+    )
     pairs_q = (
         streaming_near_dup_pairs(
             stream2, cfg, state_cap=state_cap, state_ttl_ms=state_ttl_ms
@@ -642,6 +666,7 @@ def run_streaming_dedup(
     run_ts: str = "1970-01-01T00:00:00+00:00",
     incremental: bool = True,
     timings: dict | None = None,
+    input_format: str = "parquet",
 ) -> StreamingDedupResult:
     """One-call streaming dedup: drain the input with the two
     exactly-once streams, then run the batch verify tail over the
@@ -663,6 +688,7 @@ def run_streaming_dedup(
         max_files_per_trigger=max_files_per_trigger,
         state_cap=state_cap,
         state_ttl_ms=state_ttl_ms,
+        input_format=input_format,
     ):
         if not q.awaitTermination(timeout_s):
             q.stop()

@@ -216,6 +216,15 @@ def _shard_rows(path: str, content: bytes) -> list[tuple]:
     return rows
 
 
+def _parse_shards(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    cols = ["url", "warc_ts", "html", "text", "lang", "source"]
+    for pdf in batches:
+        out: list[tuple] = []
+        for p, c in zip(pdf["path"], pdf["content"]):
+            out.extend(_shard_rows(str(p), bytes(c)))
+        yield pd.DataFrame(out, columns=cols)
+
+
 def load_pages_warc(spark: SparkSession, path: str) -> DataFrame:
     """Read a directory of .warc / .warc.gz shards into the pages
     shape. One task per shard (see module docstring); text extraction
@@ -227,13 +236,31 @@ def load_pages_warc(spark: SparkSession, path: str) -> DataFrame:
         .load(path)
         .select("path", "content")
     )
+    return shards.mapInPandas(_parse_shards, WARC_PAGES_SCHEMA)
 
-    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cols = ["url", "warc_ts", "html", "text", "lang", "source"]
-        for pdf in batches:
-            out: list[tuple] = []
-            for p, c in zip(pdf["path"], pdf["content"]):
-                out.extend(_shard_rows(str(p), bytes(c)))
-            yield pd.DataFrame(out, columns=cols)
 
-    return shards.mapInPandas(parse, WARC_PAGES_SCHEMA)
+def read_pages_stream_warc(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """Streaming twin of load_pages_warc: crawl shards landing in
+    `path` become a pages STREAM feeding the exactly-once dedup stores
+    (dedup/streaming.start_streaming_stores) — the end-to-end crawl
+    shape: fetcher drops .warc.gz shards, the engine drains them
+    incrementally with cross-batch near-dup state. binaryFile is a
+    standard file streaming source, so checkpoints give the same
+    exactly-once / resume semantics as the parquet landing path; the
+    parse is the stateless mapInPandas shared with the batch reader."""
+    shards = (
+        spark.readStream.format("binaryFile")
+        # streaming file sources require an explicit schema; binaryFile's
+        # is fixed by the format
+        .schema(
+            "path string, modificationTime timestamp, "
+            "length long, content binary"
+        )
+        .option("pathGlobFilter", "*.warc*")
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .load(path)
+        .select("path", "content")
+    )
+    return shards.mapInPandas(_parse_shards, WARC_PAGES_SCHEMA)
