@@ -16,6 +16,7 @@ import json
 import os
 import shutil
 from dataclasses import dataclass
+from datetime import datetime, timedelta, timezone
 
 from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -47,9 +48,29 @@ def incremental_exact_dedup(
     """
     norm = with_normalized(pages_stream)
     clean = quarantine_filter(norm)
-    keyed = clean.withColumn("text_hash", F.xxhash64("norm_text"))
-    return keyed.withWatermark("warc_ts", watermark).dropDuplicatesWithinWatermark(
-        ["text_hash"]
+    # same key domains as the batch exact_groups (dedup/candidates.py:35):
+    # empty-NORM docs (CJK/Cyrillic/punctuation-only pages — every char
+    # outside the normalizer's alphabet) fall back to their RAW text,
+    # prefix-tagged so the domains can't collide. Keying the stream on
+    # norm_text alone would drop every such same-alphabet page after the
+    # first as a "re-crawl" — the streaming twin of the batch bug the
+    # raw fallback exists for. The raw LENGTH rides along as a second
+    # dedup column (the free narrow anti-collision factor).
+    raw = F.coalesce(F.col("text"), F.lit(""))
+    key = F.when(
+        F.length("norm_text") > 0,
+        F.concat(F.lit("n:"), F.col("norm_text")),
+    ).otherwise(F.concat(F.lit("r:"), raw))
+    key_len = F.when(
+        F.length("norm_text") > 0, F.length("norm_text")
+    ).otherwise(F.length(raw))
+    keyed = clean.withColumn("text_hash", F.xxhash64(key)).withColumn(
+        "_key_len", key_len
+    )
+    return (
+        keyed.withWatermark("warc_ts", watermark)
+        .dropDuplicatesWithinWatermark(["text_hash", "_key_len"])
+        .drop("_key_len")
     )
 
 
@@ -336,14 +357,34 @@ def load_tail_state(
     return pairs, assigns
 
 
+def load_tail_cursor(state_dir: str, cfg: DedupConfig) -> str | None:
+    """The committed pairs-store read cursor (ISO UTC seconds): files in
+    the candidate store modified at or before this instant were already
+    anti-joined/gated by a previous drain, so the next drain may scan
+    the store with `modifiedAfter` and touch only the delta files. The
+    cursor is only valid under the same config that produced the gated
+    state (like the state itself) and is absent on pre-cursor state
+    dirs — both degrade to a full scan, never to wrong output."""
+    meta = _read_state_meta(state_dir)
+    if (
+        meta is None
+        or meta.get("version") != TAIL_STATE_VERSION
+        or meta.get("cfg") != _cfg_fingerprint(cfg)
+    ):
+        return None
+    return meta.get("cursor")
+
+
 def save_tail_state(
     state_dir: str,
     pairs: DataFrame,
     assignments: DataFrame,
     cfg: DedupConfig,
+    cursor: str | None = None,
 ) -> None:
-    """Commit this drain's gated pairs + assignments as the next drain's
-    prior state.
+    """Commit this drain's gated pairs + assignments (and the pairs-
+    store read cursor, see load_tail_cursor) as the next drain's prior
+    state.
 
     Epoch-versioned: each save writes FRESH `pairs_v{k}` /
     `assignments_v{k}` dirs, then flips the marker atomically
@@ -370,6 +411,7 @@ def save_tail_state(
                 "version": TAIL_STATE_VERSION,
                 "cfg": _cfg_fingerprint(cfg),
                 "epoch": epoch,
+                "cursor": cursor,
             },
             f,
         )
@@ -693,9 +735,30 @@ def run_streaming_dedup(
         if not q.awaitTermination(timeout_s):
             q.stop()
             raise TimeoutError(f"streaming store {q.name!r} did not drain")
+    # the cursor makes the candidate READ O(delta): every sink file
+    # modified at or before the committed cursor was already scanned,
+    # anti-joined and (if alive) gated by a previous drain, so only the
+    # files this drain's stream appended need to be touched. Captured
+    # AFTER awaitTermination (all of this drain's sink files exist) and
+    # applied with a 2 s re-read margin at load time — a crash between
+    # the streams and the state commit, or mtime skew on a real
+    # filesystem, re-scans a slightly larger delta, never misses files.
+    drain_end = datetime.now(timezone.utc)
+    state_dir = f"{work_dir}/tail_state"
+    prior_cursor = (
+        load_tail_cursor(state_dir, cfg) if incremental else None
+    )
     pages_store = spark.read.parquet(f"{work_dir}/pages")
+    pairs_reader = spark.read.schema(
+        "url_a string, url_b string, est_jaccard double"
+    )
+    if prior_cursor is not None:
+        margin = datetime.fromisoformat(prior_cursor) - timedelta(seconds=2)
+        pairs_reader = pairs_reader.option(
+            "modifiedAfter", margin.strftime("%Y-%m-%dT%H:%M:%S")
+        )
     try:
-        candidate_pairs = spark.read.parquet(f"{work_dir}/pairs")
+        candidate_pairs = pairs_reader.parquet(f"{work_dir}/pairs")
     except AnalysisException as e:
         # ONLY the two "sink wrote no files" shapes may degrade to zero
         # candidates (missing dir / metadata-only dir with no schema);
@@ -708,7 +771,6 @@ def run_streaming_dedup(
         candidate_pairs = spark.createDataFrame(
             [], "url_a string, url_b string, est_jaccard double"
         )
-    state_dir = f"{work_dir}/tail_state"
     prior_pairs, prior_assign = (
         load_tail_state(spark, state_dir, cfg)
         if incremental
@@ -721,7 +783,10 @@ def run_streaming_dedup(
         prior_assignments=prior_assign, timings=timings,
     )
     if incremental:
-        save_tail_state(state_dir, res.pairs, res.assignments, cfg)
+        save_tail_state(
+            state_dir, res.pairs, res.assignments, cfg,
+            cursor=drain_end.isoformat(timespec="seconds"),
+        )
     return res
 
 

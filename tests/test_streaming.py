@@ -602,8 +602,12 @@ def test_incremental_tail_delta_verify_and_fold(spark, tmp_path):
     t2: dict = {}
     res2 = run_streaming_dedup(spark, src, work, cfg, timings=t2)
     # the (a, b) pair was gated in invocation 1 and MUST NOT re-verify:
-    # only the two c-pairs are new
-    assert t2["n_cand_total"] == 3
+    # n_cand_new counts pairs that actually reach Jaccard/gating, and
+    # only the two c-pairs are new. The SCAN is also delta-bounded by
+    # the read cursor — at most the 2 s re-read margin's overlap on top
+    # of this drain's own files (3 = all-files upper bound; 2 when the
+    # drains are more than the margin apart, the normal case)
+    assert t2["n_cand_total"] <= 3
     assert t2["n_cand_new"] == 2
 
     got = {
@@ -730,3 +734,48 @@ def test_bucket_batch_update_empty_arrivals():
     )
     assert rows == [] and urls == ["a", "b"]
     assert np.array_equal(after, seen)
+
+
+def test_streaming_exact_dedup_degenerate_docs_stay_distinct(spark, tmp_path):
+    """Empty-NORM docs (CJK / punctuation-only pages) must NOT fuse in
+    the streaming exact stage: the raw-text fallback keys them by their
+    raw bytes (the batch exact_groups contract, dedup/candidates.py:35),
+    so two DIFFERENT CJK pages both survive while a byte-identical CJK
+    re-crawl is still dropped."""
+    import datetime
+
+    from dedup.schema import PAGES_SCHEMA
+    from dedup.streaming import incremental_exact_dedup, read_pages_stream
+
+    ts = datetime.datetime(2024, 5, 1)
+
+    def row(url, text):
+        return (url, ts, b"<html>", text, "zh", [], [], [], ["h"], None)
+
+    rows = [
+        row("https://z/a", "春眠不觉晓处处闻啼鸟夜来风雨声花落知多少"),
+        row("https://z/b", "床前明月光疑是地上霜举头望明月低头思故乡"),
+        # byte-identical re-crawl of a under a new url: MUST drop
+        row("https://z/a2", "春眠不觉晓处处闻啼鸟夜来风雨声花落知多少"),
+    ]
+    src = str(tmp_path / "cjk_src")
+    spark.createDataFrame(rows, PAGES_SCHEMA).coalesce(1) \
+        .write.mode("append").parquet(src)
+
+    seen: set[str] = set()
+
+    def sink(batch_df, epoch_id):
+        seen.update(r["url"] for r in batch_df.select("url").collect())
+
+    q = (
+        incremental_exact_dedup(
+            read_pages_stream(spark, src), DedupConfig(), watermark="1 hour"
+        )
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "cjk_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert "https://z/a" in seen and "https://z/b" in seen
+    assert len(seen) == 2  # exactly one of {a, a2} survived, plus b
