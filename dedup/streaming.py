@@ -753,10 +753,29 @@ def run_streaming_dedup(
         "url_a string, url_b string, est_jaccard double"
     )
     if prior_cursor is not None:
-        margin = datetime.fromisoformat(prior_cursor) - timedelta(seconds=2)
-        pairs_reader = pairs_reader.option(
-            "modifiedAfter", margin.strftime("%Y-%m-%dT%H:%M:%S")
-        )
+        # modifiedAfter's bare timestamp is parsed in the SESSION
+        # timezone (get_spark pins UTC, but a foreign session may not);
+        # the cursor is UTC-aware, so convert before formatting — a
+        # mismatch here would silently skip up to a whole TZ offset of
+        # delta files
+        from zoneinfo import ZoneInfo
+
+        tz_name = spark.conf.get("spark.sql.session.timeZone", "UTC")
+        try:
+            tz = ZoneInfo(tz_name)
+        except (KeyError, ValueError):  # offset-style ids ("+08:00")
+            tz = timezone.utc if tz_name.upper() in ("UTC", "Z") else None
+        if tz is None:
+            # un-mappable session zone: a wrong margin could SKIP delta
+            # files, so fall back to scanning the full store instead
+            prior_cursor = None
+        else:
+            margin = (
+                datetime.fromisoformat(prior_cursor) - timedelta(seconds=2)
+            ).astimezone(tz)
+            pairs_reader = pairs_reader.option(
+                "modifiedAfter", margin.strftime("%Y-%m-%dT%H:%M:%S")
+            )
     try:
         candidate_pairs = pairs_reader.parquet(f"{work_dir}/pairs")
     except AnalysisException as e:
