@@ -46,11 +46,20 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--run-id", default="run-0")
     ap.add_argument("--jaccard", type=float, default=0.8)
     ap.add_argument("--channels", default="lsh,exact,simhash,substring",
-                    help="comma list from {lsh,exact,simhash,substring,lcp}; "
-                         "lcp = distributed suffix-array shared-passage "
-                         "candidates (opt-in: shared long passages are "
-                         "usually quotes/boilerplate, so its pairs still "
-                         "face the full Jaccard + reason verification)")
+                    help="comma list from {lsh,exact,simhash,substring,lcp,"
+                         "media}; lcp = distributed suffix-array "
+                         "shared-passage candidates (opt-in: shared long "
+                         "passages are usually quotes/boilerplate, so its "
+                         "pairs still face the full Jaccard + reason "
+                         "verification); media = thumbnail-hash image "
+                         "dedup over --media-input (pairs bypass the "
+                         "Jaccard gate — shared-image pages rarely share "
+                         "text — but face every reason gate)")
+    ap.add_argument("--media-input", default=None,
+                    help="parquet path with (url, payload binary): one "
+                         "decodable image payload per page row, consumed "
+                         "by the media channel (dedup/multimodal.py "
+                         "media_dup_pairs)")
     ap.add_argument("--authority-sources", default="",
                     help="comma list of source names whose members outrank "
                          "all others in survivor selection "
@@ -199,6 +208,23 @@ def main(argv: list[str] | None = None) -> int:
         )
         bypass_channels.append(sub_edges.select("url_a", "url_b"))
         metrics.record_stage("substring_hot_buckets", sub_hot)
+    if "media" in channels:
+        # thumbnail identity IS the channel's similarity evidence (two
+        # pages sharing an image but no text have sub-threshold Jaccard
+        # by construction) — bypass the Jaccard gate, keep every reason
+        # gate, exactly like the reference feeds every pair through
+        # canMerge regardless of provenance
+        # (/root/reference/lib/marc-record-merge-melindautils.js:84-104)
+        if not args.media_input:
+            ap.error("--channels media needs --media-input")
+        from dedup.multimodal import media_dup_pairs
+
+        page_media = spark.read.parquet(args.media_input)
+        media_pairs, media_hot = media_dup_pairs(
+            page_media, cfg, cache_registry=channel_caches
+        )
+        bypass_channels.append(media_pairs.select("url_a", "url_b"))
+        metrics.record_stage("media_hot_buckets", media_hot)
     if "lcp" in channels:
         from dedup.suffix import lcp_pairs_distributed
 
