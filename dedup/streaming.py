@@ -301,7 +301,7 @@ def streaming_near_dup_pairs(
 # Incremental tail state
 # ---------------------------------------------------------------------------
 
-TAIL_STATE_VERSION = 1
+TAIL_STATE_VERSION = 2
 
 
 def _cfg_fingerprint(cfg: DedupConfig) -> str:
@@ -344,15 +344,22 @@ def load_tail_state(
         or meta.get("cfg") != _cfg_fingerprint(cfg)
     ):
         return None, None
-    epoch = meta["epoch"]
+    # LSM shape: one compacted base + one delta dir per drain since the
+    # last compaction (see save_tail_state); the prior pair table is
+    # the union of all of them, read in one multi-path parquet scan
+    pair_dirs = ([meta["pairs_base"]] if meta.get("pairs_base") else []) + (
+        meta.get("pairs_deltas") or []
+    )
+    if not pair_dirs:
+        return None, None
     try:
         pairs = spark.read.parquet(
-            os.path.join(state_dir, f"pairs_v{epoch}")
+            *[os.path.join(state_dir, d) for d in pair_dirs]
         )
         assigns = spark.read.parquet(
-            os.path.join(state_dir, f"assignments_v{epoch}")
+            os.path.join(state_dir, meta["assignments"])
         )
-    except AnalysisException:
+    except (AnalysisException, KeyError):
         return None, None
     return pairs, assigns
 
@@ -377,32 +384,74 @@ def load_tail_cursor(state_dir: str, cfg: DedupConfig) -> str | None:
 
 def save_tail_state(
     state_dir: str,
-    pairs: DataFrame,
+    new_pairs: DataFrame,
+    full_pairs: DataFrame,
     assignments: DataFrame,
     cfg: DedupConfig,
     cursor: str | None = None,
+    compact_every: int = 16,
 ) -> None:
     """Commit this drain's gated pairs + assignments (and the pairs-
     store read cursor, see load_tail_cursor) as the next drain's prior
     state.
 
-    Epoch-versioned: each save writes FRESH `pairs_v{k}` /
-    `assignments_v{k}` dirs, then flips the marker atomically
-    (os.replace). The previous epoch's files are left in place for one
-    more drain — this drain's result frames lazily reference them (the
-    pairs output unions the prior parquet), so deleting them here would
-    break any caller action after the save. Epochs older than k-1 have
-    no live readers and are garbage-collected. A crash mid-save leaves
-    the old marker pointing at intact old dirs: the next drain re-gates
-    a larger delta, never produces wrong output."""
+    LSM-shaped pair state: the per-drain WRITE is `pairs_delta_v{k}` —
+    only the pairs gated THIS drain (O(delta)), not the accumulated
+    table (O(corpus); rewriting the full wide pair table per trigger
+    would re-introduce on the write side exactly the per-drain
+    O(corpus) cost the incremental tail removed from the compute side).
+    Every `compact_every` drains the deltas are folded into a fresh
+    `pairs_base_v{k}` (one amortized O(corpus) write) so the number of
+    live delta dirs — and the next drain's multi-path scan — stays
+    bounded. Assignments are narrow (url, cluster_id) and rewritten
+    whole each drain: new edges can relabel ANY old cluster, so there
+    is no per-row delta to exploit.
+
+    Epoch-versioned + crash-safe: data dirs are written fresh, then the
+    marker flips atomically (os.replace). Dirs referenced by the
+    current OR previous marker are kept — this drain's result frames
+    lazily reference the previous epoch's files (the pairs output
+    unions the prior parquet), so deleting them here would break any
+    caller action after the save; everything older is garbage-
+    collected. A crash mid-save leaves the old marker pointing at
+    intact old dirs: the next drain re-gates a larger delta, never
+    produces wrong output."""
     os.makedirs(state_dir, exist_ok=True)
     meta = _read_state_meta(state_dir)
+    valid_prior = (
+        meta is not None
+        and meta.get("version") == TAIL_STATE_VERSION
+        and meta.get("cfg") == _cfg_fingerprint(cfg)
+        and meta.get("assignments")
+    )
     epoch = (meta["epoch"] + 1) if meta and "epoch" in meta else 0
-    for name, df in (("pairs", pairs), ("assignments", assignments)):
-        out = os.path.join(state_dir, f"{name}_v{epoch}")
+
+    def _write(name: str, df: DataFrame) -> str:
+        out = os.path.join(state_dir, name)
         if os.path.exists(out):
             shutil.rmtree(out)
         df.write.mode("overwrite").parquet(out)
+        if not any(f.endswith(".parquet") for f in os.listdir(out)):
+            # an EMPTY delta (drain with no new pairs) can coalesce to
+            # zero partitions → zero part files → the next multi-path
+            # read has no footer to infer this path's schema from;
+            # force one schema-carrying empty file
+            df.sparkSession.createDataFrame([], df.schema).repartition(
+                1
+            ).write.mode("overwrite").parquet(out)
+        return name
+
+    if valid_prior and len(meta.get("pairs_deltas") or []) < compact_every:
+        base = meta.get("pairs_base")
+        deltas = (meta.get("pairs_deltas") or []) + [
+            _write(f"pairs_delta_v{epoch}", new_pairs)
+        ]
+    else:
+        # fresh start (no/invalid/mismatched prior) or compaction due:
+        # one full write, delta chain resets
+        base = _write(f"pairs_base_v{epoch}", full_pairs)
+        deltas = []
+    assignments_dir = _write(f"assignments_v{epoch}", assignments)
     marker = os.path.join(state_dir, "state.json")
     tmp = marker + ".tmp"
     with open(tmp, "w") as f:
@@ -412,19 +461,40 @@ def save_tail_state(
                 "cfg": _cfg_fingerprint(cfg),
                 "epoch": epoch,
                 "cursor": cursor,
+                "pairs_base": base,
+                "pairs_deltas": deltas,
+                "assignments": assignments_dir,
             },
             f,
         )
     os.replace(tmp, marker)
+    # GC: keep every dir referenced by the marker just written or by
+    # the previous one (lazy readers); delete the rest of our prefixes
+    referenced = set(deltas) | {assignments_dir} | ({base} if base else set())
+    if meta:
+        referenced |= set(meta.get("pairs_deltas") or [])
+        referenced |= {
+            meta.get(k)
+            for k in ("pairs_base", "assignments")
+            if meta.get(k)
+        }
+        if meta.get("version") == 1 and "epoch" in meta:  # pre-LSM layout
+            referenced |= {
+                f"pairs_v{meta['epoch']}", f"assignments_v{meta['epoch']}"
+            }
     for name in os.listdir(state_dir):
-        for prefix in ("pairs_v", "assignments_v"):
+        if name in referenced or name == "state.json":
+            continue
+        for prefix in (
+            "pairs_v", "pairs_base_v", "pairs_delta_v", "assignments_v"
+        ):
             if name.startswith(prefix):
                 try:
-                    v = int(name[len(prefix):])
+                    int(name[len(prefix):])
                 except ValueError:
                     continue
-                if v < epoch - 1:
-                    shutil.rmtree(os.path.join(state_dir, name))
+                shutil.rmtree(os.path.join(state_dir, name))
+                break
 
 
 @dataclass
@@ -437,6 +507,9 @@ class StreamingDedupResult:
     survivors: DataFrame    # one preferred record per cluster
     rejected: DataFrame     # both-authorized clusters routed to reject
     cached: tuple = ()      # frames the tail persisted (release() owns)
+    new_pairs: DataFrame | None = None  # pairs gated THIS drain only
+    #   (the O(delta) slice save_tail_state persists; == pairs on a
+    #   full recompute)
 
     def release(self) -> None:
         """Unpersist every cache the tail pinned (same contract as
@@ -688,6 +761,7 @@ def streaming_verify_tail(
         # new_pairs is the persisted object (pairs may be a derived
         # union); release() must unpersist exactly what was pinned
         cached=(new_pairs, assign, survivors),
+        new_pairs=new_pairs,
     )
 
 
@@ -803,7 +877,7 @@ def run_streaming_dedup(
     )
     if incremental:
         save_tail_state(
-            state_dir, res.pairs, res.assignments, cfg,
+            state_dir, res.new_pairs, res.pairs, res.assignments, cfg,
             cursor=drain_end.isoformat(timespec="seconds"),
         )
     return res

@@ -779,3 +779,91 @@ def test_streaming_exact_dedup_degenerate_docs_stay_distinct(spark, tmp_path):
     q.awaitTermination(120)
     assert "https://z/a" in seen and "https://z/b" in seen
     assert len(seen) == 2  # exactly one of {a, a2} survived, plus b
+
+
+def test_tail_state_lsm_delta_writes_and_compaction(spark, tmp_path):
+    """The per-drain pair-state WRITE must be O(delta), not O(corpus):
+    save_tail_state appends a pairs_delta dir per drain, the loader
+    unions base + deltas, compaction folds them into a fresh base every
+    compact_every drains, GC keeps only the last two markers' dirs, and
+    a config change invalidates cleanly."""
+    import os
+
+    from dedup.streaming import (
+        _read_state_meta,
+        load_tail_state,
+        save_tail_state,
+    )
+
+    cfg = DedupConfig()
+    sd = str(tmp_path / "state")
+    schema = "url_a string, url_b string, can_merge boolean"
+
+    def pairs(*rows):
+        return spark.createDataFrame(list(rows), schema)
+
+    def assigns(*urls):
+        return spark.createDataFrame([(u, u) for u in urls],
+                                     "url string, cluster_id string")
+
+    p0 = [("a", "b", True), ("a", "c", False)]
+    p1 = [("b", "d", True)]
+    p2 = [("c", "e", True)]
+
+    # drain 0: fresh start → full base write
+    save_tail_state(sd, pairs(*p0), pairs(*p0), assigns("a", "b"), cfg)
+    meta = _read_state_meta(sd)
+    assert meta["pairs_base"] == "pairs_base_v0"
+    assert meta["pairs_deltas"] == []
+
+    # drain 1: only the delta is written
+    save_tail_state(sd, pairs(*p1), pairs(*p0, *p1), assigns("a", "b", "d"),
+                    cfg)
+    meta = _read_state_meta(sd)
+    assert meta["pairs_base"] == "pairs_base_v0"
+    assert meta["pairs_deltas"] == ["pairs_delta_v1"]
+    import duckdb  # independent reader: the delta dir holds ONLY p1
+
+    n_delta = duckdb.sql(
+        f"select count(*) from parquet_scan('{sd}/pairs_delta_v1/*.parquet')"
+    ).fetchone()[0]
+    assert n_delta == len(p1)
+    prior, pa = load_tail_state(spark, sd, cfg)
+    assert sorted(tuple(r) for r in prior.collect()) == sorted(p0 + p1)
+    assert pa.count() == 3
+
+    # drain 2 with compaction due → deltas fold into a new base
+    save_tail_state(sd, pairs(*p2), pairs(*p0, *p1, *p2),
+                    assigns("a", "b", "d", "e"), cfg, compact_every=1)
+    meta = _read_state_meta(sd)
+    assert meta["pairs_base"] == "pairs_base_v2"
+    assert meta["pairs_deltas"] == []
+    prior, _ = load_tail_state(spark, sd, cfg)
+    assert sorted(tuple(r) for r in prior.collect()) == sorted(p0 + p1 + p2)
+
+    # GC keeps dirs referenced by the current + previous markers only
+    dirs = {d for d in os.listdir(sd) if d != "state.json"}
+    assert dirs == {"pairs_base_v0", "pairs_delta_v1", "pairs_base_v2",
+                    "assignments_v1", "assignments_v2"}
+
+    # one more drain: epoch-0/1 leftovers age out
+    save_tail_state(sd, pairs(), pairs(*p0, *p1, *p2),
+                    assigns("a", "b", "d", "e"), cfg)
+    meta = _read_state_meta(sd)
+    assert meta["pairs_deltas"] == ["pairs_delta_v3"]
+    dirs = {d for d in os.listdir(sd) if d != "state.json"}
+    assert dirs == {"pairs_base_v2", "pairs_delta_v3",
+                    "assignments_v2", "assignments_v3"}
+    # the EMPTY delta still reads back (schema-carrying file forced)
+    prior, _ = load_tail_state(spark, sd, cfg)
+    assert sorted(tuple(r) for r in prior.collect()) == sorted(p0 + p1 + p2)
+
+    # changed config: loader refuses, next save starts a fresh base
+    other = DedupConfig(jaccard_threshold=0.5)
+    assert load_tail_state(spark, sd, other) == (None, None)
+    save_tail_state(sd, pairs(*p0), pairs(*p0), assigns("a"), other)
+    meta = _read_state_meta(sd)
+    assert meta["pairs_base"] == "pairs_base_v4"
+    assert meta["pairs_deltas"] == []
+    prior, _ = load_tail_state(spark, sd, other)
+    assert sorted(tuple(r) for r in prior.collect()) == sorted(p0)
