@@ -662,6 +662,19 @@ def streaming_verify_tail(
     )
 
     cand = candidate_pairs.select("url_a", "url_b").distinct()
+    # LIVE filter before the delta split: the near-dup stream bands
+    # every incoming page, so its store carries pairs naming urls the
+    # exact-dedup watermark dropped (byte-identical re-crawls under new
+    # urls — the surviving twin carries the content). Those DEAD pairs
+    # can never be gated (the Jaccard join onto the store would drop
+    # them anyway), so they never enter prior_pairs — without this
+    # filter every margin re-scan re-counts them as "new" forever and
+    # they re-pay the explode + store join each drain. Two semi-joins
+    # on the narrow url column kill them at the door instead.
+    live = pages_store.select("url")
+    cand = cand.join(
+        live.withColumnRenamed("url", "url_a"), "url_a", "left_semi"
+    ).join(live.withColumnRenamed("url", "url_b"), "url_b", "left_semi")
     if prior_pairs is not None:
         # the delta: candidates not already gated in a previous drain.
         # The near-dup stream's parquet store accumulates every pair
@@ -798,6 +811,9 @@ def run_streaming_dedup(
     trigger. Clear the state dir (or pass incremental=False) if a SIDE
     TABLE changed between drains; a changed DedupConfig invalidates the
     state automatically."""
+    import time as _time
+
+    _t0 = _time.time()
     for q in start_streaming_stores(
         spark, input_path, work_dir, cfg,
         watermark=watermark,
@@ -809,6 +825,10 @@ def run_streaming_dedup(
         if not q.awaitTermination(timeout_s):
             q.stop()
             raise TimeoutError(f"streaming store {q.name!r} did not drain")
+    if timings is not None:
+        # mode-independent ingest cost vs the (incremental-vs-full) tail
+        timings["t_streams_s"] = round(_time.time() - _t0, 2)
+        _t0 = _time.time()
     # the cursor makes the candidate READ O(delta): every sink file
     # modified at or before the committed cursor was already scanned,
     # anti-joined and (if alive) gated by a previous drain, so only the
@@ -875,11 +895,16 @@ def run_streaming_dedup(
         run_ts=run_ts, prior_pairs=prior_pairs,
         prior_assignments=prior_assign, timings=timings,
     )
+    if timings is not None:
+        timings["t_tail_build_s"] = round(_time.time() - _t0, 2)
+        _t0 = _time.time()
     if incremental:
         save_tail_state(
             state_dir, res.new_pairs, res.pairs, res.assignments, cfg,
             cursor=drain_end.isoformat(timespec="seconds"),
         )
+        if timings is not None:
+            timings["t_save_s"] = round(_time.time() - _t0, 2)
     return res
 
 

@@ -95,6 +95,9 @@ def main() -> None:
         work = f"{args.workdir}/{mode}/work"
         os.makedirs(src, exist_ok=True)
         walls, cand_total, cand_new = [], [], []
+        splits: dict[str, list] = {
+            "t_streams_s": [], "t_tail_build_s": [], "t_save_s": []
+        }
         res = None
         for k in range(args.drops):
             for f in os.listdir(f"{stage}/{k}"):
@@ -115,6 +118,8 @@ def main() -> None:
             walls.append(round(time.time() - t0, 2))
             cand_total.append(t.get("n_cand_total"))
             cand_new.append(t.get("n_cand_new"))
+            for name in splits:
+                splits[name].append(t.get(name))
             print(
                 f"[{mode}] drain {k}: wall={walls[-1]}s "
                 f"cand={cand_total[-1]} new={cand_new[-1]} "
@@ -131,6 +136,9 @@ def main() -> None:
             "drain_walls_s": walls,
             "n_cand_total": cand_total,
             "n_cand_new": cand_new,
+            "t_streams_s": splits["t_streams_s"],
+            "t_tail_build_s": splits["t_tail_build_s"],
+            "t_save_s": splits["t_save_s"],
         }
     result["outputs_identical"] = (
         fingerprints["incremental"] == fingerprints["full"]
