@@ -135,6 +135,15 @@ def main(argv: list[str] | None = None) -> int:
     if args.streaming:
         if not args.input:
             ap.error("--streaming needs --input (the landing directory)")
+        # an EXPLICIT partition count applies to the drains' tail work;
+        # 'auto' keeps the session default here — the corpus size that
+        # drives the auto rule isn't known until the stores have drained,
+        # and each drain's delta is small by design
+        if args.shuffle_partitions != "auto":
+            spark.conf.set(
+                "spark.sql.shuffle.partitions",
+                str(int(args.shuffle_partitions)),
+            )
         return _run_streaming(
             spark, args, cfg, side_sources, host_ids, authorized_names
         )

@@ -489,6 +489,41 @@ def test_cli_streaming_mode_resumes_across_invocations(spark, tmp_path):
     assert total["docs"] == 3
 
 
+def test_cli_streaming_applies_explicit_shuffle_partitions(spark, tmp_path):
+    """An explicit --shuffle-partitions must reach the streaming drains'
+    tail work (it used to be silently dropped: the sizing block sat
+    after the --streaming early return). 'auto' keeps the session
+    default — corpus size isn't known until the stores drain."""
+    import datetime
+
+    import dedup.session as session
+    from dedup import cli
+    from dedup.schema import PAGES_SCHEMA
+
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "out")
+    ts = datetime.datetime(2024, 3, 1)
+    spark.createDataFrame(
+        [("https://sp/a", ts, b"<html>", "alpha bravo " * 40, "en",
+          [], [], [], ["h"], None)],
+        PAGES_SCHEMA,
+    ).coalesce(1).write.mode("append").parquet(landing)
+
+    orig_get_spark, session.get_spark = session.get_spark, lambda *x, **k: spark
+    orig_stop, spark.stop = spark.stop, lambda: None
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        assert cli.main(
+            ["--streaming", "--input", landing, "--output", out,
+             "--shuffle-partitions", "7"]
+        ) == 0
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "7"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        session.get_spark = orig_get_spark
+        spark.stop = orig_stop
+
+
 def test_streaming_degenerate_docs_not_banded(spark, tmp_path):
     """Empty-norm docs (CJK under the [a-z0-9åäö] alphabet) share the
     constant sentinel-shingle signature; banding them would pair every
