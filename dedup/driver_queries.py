@@ -661,6 +661,33 @@ def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN END-TO-END at full probe width (dedup/embeddings.py
+    ivf_topk): with nprobe == n_centroids every query probes every
+    cell, so the candidate set is exactly all (q, c≠q) pairs and the
+    production path — deterministic spherical-k-means fit on the
+    hash-thinned sample, BLAS cell-assignment kernel, probe-list
+    projection, candidate distinct, shared exact fixed-point re-rank —
+    must reproduce brute-force top-k bit-for-bit. The oracle computes
+    the same all-pairs fixed-point cosine ranking in DuckDB, so any
+    plumbing defect that loses, duplicates or mis-scores a candidate
+    breaks the match. Recall at nprobe < n_centroids (the approximate
+    regime) is measured separately in tests/test_embeddings.py.
+
+    Reference analogue: the ANN channels have no reference counterpart
+    (SURVEY §2.2 similarity search: ∅) — this pins the scale path's
+    exactness contract at its lossless operating point."""
+    from dedup.embeddings import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ivf_topk(emb, k=5, n_centroids=16, nprobe=16).select(
+        F.col("q_id").cast("long").alias("q_id"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("rank").cast("long").alias("rank"),
+        "cosine_micro",
+    )
+
+
 def q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup SPEC: all pairs with fixed-point cosine
     ≥ threshold (the production channel, embeddings.embedding_dup_pairs,
@@ -914,6 +941,7 @@ QUERIES = {
     "substring_containment": q_substring_pairs,
     "simhash_bits": q_simhash_bits,
     "knn_cosine_topk": q_knn_cosine,
+    "ivf_topk_exact": q_ivf_topk,
     "extent_inference": q_extent_infer,
     "pair_gate_reasons": q_pair_gates,
     "embedding_dup_pairs": q_embedding_dups,
@@ -1421,6 +1449,46 @@ dots AS (
   SELECT q.vec_id AS q_id, c.vec_id AS vec_id, sum(q.val * c.val)::BIGINT AS dot
   FROM exploded q JOIN exploded c ON q.dim = c.dim AND q.vec_id <> c.vec_id
   WHERE q.vec_id < 10
+  GROUP BY q.vec_id, c.vec_id
+),
+scored AS (
+  SELECT d.q_id, d.vec_id,
+         floor(d.dot / (sqrt(nq.n2::DOUBLE) * sqrt(nc.n2::DOUBLE)) * 1000000)
+           ::BIGINT AS cosine_micro
+  FROM dots d
+  JOIN norms nq ON nq.vec_id = d.q_id
+  JOIN norms nc ON nc.vec_id = d.vec_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY q_id ORDER BY cosine_micro DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT q_id::BIGINT AS q_id, vec_id::BIGINT AS vec_id, rank::BIGINT AS rank,
+       cosine_micro
+FROM ranked WHERE rank <= 5
+"""
+
+# ivf_topk_exact: the SAME all-pairs fixed-point cosine ranking as the
+# knn oracle, but over EVERY query (no q_id < 10 filter) — at
+# nprobe == n_centroids the IVF path's candidate set is all pairs, so
+# its output must equal this exact relation.
+ORACLES["ivf_topk_exact"] = """
+WITH fixed AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> floor(x::DOUBLE * 1048576)::BIGINT) AS v
+  FROM embeddings
+),
+exploded AS (
+  SELECT vec_id, generate_subscripts(v, 1) AS dim, unnest(v) AS val
+  FROM fixed
+),
+norms AS (
+  SELECT vec_id, sum(val * val)::BIGINT AS n2 FROM exploded GROUP BY vec_id
+),
+dots AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS vec_id, sum(q.val * c.val)::BIGINT AS dot
+  FROM exploded q JOIN exploded c ON q.dim = c.dim AND q.vec_id <> c.vec_id
   GROUP BY q.vec_id, c.vec_id
 ),
 scored AS (
