@@ -102,6 +102,14 @@ def main(argv: list[str] | None = None) -> int:
                     help="streaming: drop bucket state idle longer than "
                          "this (bounds TOTAL state for long-running "
                          "streams; default keeps state forever)")
+    ap.add_argument("--bucketed-tables", action="store_true",
+                    help="additionally publish clean + assignments as "
+                         "url-bucketed catalog tables under "
+                         "{output}/bucketed with a SHARED bucket count "
+                         "from the auto sizing rule — every later "
+                         "url-keyed join/agg against them (members "
+                         "joins, store ⋈ pairs, re-runs from snapshot) "
+                         "compiles with no Exchange (dedup/sinks.py)")
     args = ap.parse_args(argv)
 
     from dedup.checkpoint import CheckpointStore
@@ -268,6 +276,29 @@ def main(argv: list[str] | None = None) -> int:
     metrics.record_stage("survivors", surv_ck)
     metrics.record_stage("rejected_survivors", res.rejected)
     metrics.record_stage("hot_buckets", res.hot_buckets)
+
+    if args.bucketed_tables:
+        # the two url-keyed stores every downstream consumer re-joins;
+        # one shared bucket count (the run's auto-sized partition count)
+        # so they co-join each other — and any same-bucketed side table —
+        # with zero Exchange. Reads must resolve through the catalog
+        # (read_bucketed), not the raw path.
+        from dedup.sinks import write_bucketed
+
+        safe_run = "".join(
+            c if c.isalnum() else "_" for c in args.run_id
+        )
+        for stage, frame in (("clean", clean_ck), ("assignments", assign_ck)):
+            t = write_bucketed(
+                frame, f"dedup_{stage}_{safe_run}",
+                f"{args.output}/bucketed/{stage}", n_buckets=parts,
+            )
+            metrics.records.append({
+                "stage": f"bucketed_{stage}",
+                "table": f"dedup_{stage}_{safe_run}",
+                "n_buckets": parts,
+                "rows_out": t.count(),
+            })
 
     # stat-only parity counters (the reference's non-fatal per-pair
     # 'STAT 245]' / 'STAT DIAC]' debug logging, marc-record-merge-

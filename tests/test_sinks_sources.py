@@ -148,3 +148,45 @@ def test_jsonl_malformed_line_is_total(spark, tmp_path):
     # PERMISSIVE: the bad line becomes an all-null row, never a crash
     assert {"https://j/ok", "https://j/ok2"} <= urls
     assert len(rows) == 3
+
+
+def test_cli_bucketed_tables(spark, tmp_path):
+    """--bucketed-tables publishes clean + assignments as co-bucketed
+    catalog tables: both exist, carry the run's rows, share one bucket
+    count, and join each other on url with no Exchange."""
+    from dedup import cli, session
+
+    out = str(tmp_path / "out")
+    orig_get_spark = session.get_spark
+    session.get_spark = lambda *a, **k: spark
+    orig_stop = spark.stop
+    spark.stop = lambda: None
+    try:
+        rc = cli.main([
+            "--synthetic", "200", "--seed", "42",
+            "--output", out,
+            "--channels", "lsh,exact",
+            "--bucketed-tables",
+        ])
+    finally:
+        session.get_spark = orig_get_spark
+        spark.stop = orig_stop
+    assert rc == 0
+    metrics = [
+        json.loads(line)
+        for line in open(f"{out}/metrics.jsonl")
+        if line.strip()
+    ]
+    by_stage = {m["stage"]: m for m in metrics}
+    bc, ba = by_stage["bucketed_clean"], by_stage["bucketed_assignments"]
+    assert bc["rows_out"] == by_stage["clean"]["rows_out"]
+    assert ba["rows_out"] == by_stage["assignments"]["rows_out"]
+    assert bc["n_buckets"] == ba["n_buckets"] > 0
+    tc = read_bucketed(spark, bc["table"])
+    ta = read_bucketed(spark, ba["table"])
+    with _no_broadcast(spark):
+        joined = tc.join(ta, "url")
+        assert joined.count() == ba["rows_out"]
+        assert "Exchange" not in _plan(joined), _plan(joined)
+    spark.sql(f"DROP TABLE IF EXISTS {bc['table']}")
+    spark.sql(f"DROP TABLE IF EXISTS {ba['table']}")
