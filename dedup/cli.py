@@ -47,7 +47,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--jaccard", type=float, default=0.8)
     ap.add_argument("--channels", default="lsh,exact,simhash,substring",
                     help="comma list from {lsh,exact,simhash,substring,lcp,"
-                         "media}; lcp = distributed suffix-array "
+                         "media,ngram}; ngram = exact word-n-gram Jaccard "
+                         "candidates (df-capped inverted index, "
+                         "dedup/ngram.py — pairs face the full Jaccard + "
+                         "reason verification); lcp = distributed suffix-array "
                          "shared-passage candidates (opt-in: shared long "
                          "passages are usually quotes/boilerplate, so its "
                          "pairs still face the full Jaccard + reason "
@@ -242,6 +245,16 @@ def main(argv: list[str] | None = None) -> int:
         )
         bypass_channels.append(media_pairs.select("url_a", "url_b"))
         metrics.record_stage("media_hot_buckets", media_hot)
+    if "ngram" in channels:
+        # word-n-gram overlap is candidate EVIDENCE only: pairs face
+        # the standard char-shingle Jaccard + reason verification
+        from dedup.ngram import ngram_channel
+
+        ng_pairs, ng_hot = ngram_channel(
+            clean, cfg, cache_registry=channel_caches
+        )
+        cand_channels.append(ng_pairs)
+        metrics.record_stage("ngram_hot_grams", ng_hot)
     if "lcp" in channels:
         from dedup.suffix import lcp_pairs_distributed
 

@@ -81,6 +81,21 @@ class DedupConfig:
     # never enter the channel (they still reach exact/LSH dedup).
     simhash_min_len: int = 64
 
+    # --- word n-gram Jaccard channel --------------------------------
+    # exact word-n-gram Jaccard (w-shingling, Broder 1997) — see
+    # dedup/ngram.py. n = gram width in WORDS over the normalized text.
+    ngram_n: int = 3
+    # document-frequency cap for CANDIDATE GENERATION: grams in more
+    # docs than this are boilerplate vocabulary and never seed a pair
+    # (the prefix-filter / stop-gram move — same role as the LSH
+    # hot-bucket cap); the Jaccard VALUE still counts every gram.
+    ngram_df_cap: int = 64
+    # exact n-gram Jaccard a pair must reach to be emitted. Word
+    # trigram Jaccard is much stricter than char-9-gram Jaccard (one
+    # edited word kills n grams), so the channel default sits below the
+    # char-shingle threshold.
+    ngram_jaccard_threshold: float = 0.5
+
     # --- substring / suffix channel --------------------------------
     fingerprint_window: int = 32      # winnowing window (chars)
     substring_min_len: int = 64       # shorter docs skip the channel

@@ -923,6 +923,20 @@ def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word n-gram Jaccard near-dup channel (dedup/ngram.py
+    ngram_dup_pairs) — THE PRODUCTION OPERATOR in portable-hash mode:
+    df-capped inverted-index candidate generation, then exact word-
+    trigram Jaccard over full distinct gram sets in integer micro
+    units. The oracle recomputes the identical relation from the same
+    normalized text via DuckDB list functions."""
+    from dedup.ngram import ngram_dup_pairs
+
+    clean = _clean(spark, sf_dir).select("url", "norm_text")
+    pairs, _hot = ngram_dup_pairs(clean, CFG)
+    return pairs
+
+
 QUERIES = {
     "pages_derivation": q_pages,
     "normalize_flags": q_normalize,
@@ -954,6 +968,7 @@ QUERIES = {
     "media_dup_pairs": q_media_pairs,
     "jsonl_ingest": q_jsonl_ingest,
     "warc_ingest": q_warc_ingest,
+    "ngram_dup_pairs": q_ngram_pairs,
 }
 
 
@@ -1600,4 +1615,52 @@ SELECT 'https://' || source || '.example/doc/' || doc_id::VARCHAR AS url,
        length(text)::BIGINT AS n_chars,
        {_h60('text')} AS text_h
 FROM documents
+"""
+
+
+# word n-gram Jaccard channel: identical relation from the same
+# normalized text via DuckDB list functions. Slicing note: DuckDB list
+# slices are 1-based INCLUSIVE (w[i:i+n-1] is an n-gram); parameters
+# come from the shared CFG so Spark and oracle can't drift.
+_NG_N = CFG.ngram_n
+_NG_THR_MICRO = int(round(CFG.ngram_jaccard_threshold * 1_000_000))
+ORACLES["ngram_dup_pairs"] = f"""
+WITH {_PAGES_CTE.strip()}, {_NORM_CTE.strip()}, {_CLEAN_CTE.strip()},
+words AS (
+  SELECT url, string_split(norm_text, ' ') AS w
+  FROM clean WHERE length(norm_text) > 0
+),
+gramstr AS (
+  SELECT url,
+         unnest(list_transform(range(1, len(w) - {_NG_N} + 2),
+                i -> array_to_string(w[i:i+{_NG_N - 1}], ' '))) AS g
+  FROM words WHERE len(w) >= {_NG_N}
+),
+grams AS (SELECT DISTINCT url, {_h60('g')} AS ghash FROM gramstr),
+gdf AS (SELECT ghash, count(*) AS df FROM grams GROUP BY 1),
+rare AS (
+  SELECT g.url, g.ghash FROM grams g
+  JOIN gdf d ON d.ghash = g.ghash AND d.df <= {CFG.ngram_df_cap}
+),
+cand AS (
+  SELECT DISTINCT a.url AS url_a, b.url AS url_b
+  FROM rare a JOIN rare b ON a.ghash = b.ghash AND a.url < b.url
+),
+sizes AS (SELECT url, count(*) AS n FROM grams GROUP BY url),
+inter AS (
+  SELECT c.url_a, c.url_b, count(*) AS n_inter
+  FROM cand c
+  JOIN grams a ON a.url = c.url_a
+  JOIN grams b ON b.url = c.url_b AND b.ghash = a.ghash
+  GROUP BY 1, 2
+)
+SELECT i.url_a, i.url_b, i.n_inter::BIGINT AS n_inter,
+       (sa.n + sb.n - i.n_inter)::BIGINT AS n_union,
+       ((1000000 * i.n_inter) // (sa.n + sb.n - i.n_inter))::BIGINT
+         AS jaccard_micro
+FROM inter i
+JOIN sizes sa ON sa.url = i.url_a
+JOIN sizes sb ON sb.url = i.url_b
+WHERE (1000000 * i.n_inter) // (sa.n + sb.n - i.n_inter)
+      >= {_NG_THR_MICRO}
 """
