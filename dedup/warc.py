@@ -109,6 +109,7 @@ def write_warc_shards(
     n_records) manifest; the write happens when the manifest is acted
     on."""
     import os
+    import uuid
 
     os.makedirs(out_dir, exist_ok=True)
     keyed = pages.select(
@@ -130,8 +131,15 @@ def write_warc_shards(
             for u, t, p in zip(pdf["url"], pdf["ts_epoch"], pdf["payload"])
         )
         path = os.path.join(out_dir, f"shard-{shard:05d}.warc.gz")
-        with open(path, "wb") as f:
+        # atomic publish: a speculative or retried attempt writing the
+        # final path directly could interleave with a sibling attempt
+        # and tear the file; per-attempt tmp + os.replace is atomic on
+        # POSIX, and byte-identical content makes the race harmless
+        # whichever attempt lands last
+        tmp = f"{path}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "wb") as f:
             f.write(blob)
+        os.replace(tmp, path)
         return pd.DataFrame(
             {"shard": [shard], "path": [path], "n_records": [len(pdf)]}
         )
