@@ -937,6 +937,19 @@ def q_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs
 
 
+def q_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling-window crawl statistics (dedup/streaming.py
+    crawl_window_stats) in its batch form — THE SAME expression the
+    streaming monitor runs with a watermark attached (late-data
+    semantics are unit-tested on a real stream in test_streaming; the
+    aggregation itself is oracle-checked here). Spark's window() aligns
+    tumbling windows to the Unix epoch, which the oracle reproduces
+    with integer floor division."""
+    from dedup.streaming import crawl_window_stats
+
+    return crawl_window_stats(load_pages(spark, sf_dir), window="1 hour")
+
+
 QUERIES = {
     "pages_derivation": q_pages,
     "normalize_flags": q_normalize,
@@ -969,6 +982,7 @@ QUERIES = {
     "jsonl_ingest": q_jsonl_ingest,
     "warc_ingest": q_warc_ingest,
     "ngram_dup_pairs": q_ngram_pairs,
+    "crawl_window_stats": q_window_stats,
 }
 
 
@@ -1663,4 +1677,20 @@ JOIN sizes sa ON sa.url = i.url_a
 JOIN sizes sb ON sb.url = i.url_b
 WHERE (1000000 * i.n_inter) // (sa.n + sb.n - i.n_inter)
       >= {_NG_THR_MICRO}
+"""
+
+
+# tumbling-window crawl stats: Spark's window() aligns to the Unix
+# epoch; integer floor division reproduces the same buckets
+ORACLES["crawl_window_stats"] = f"""
+WITH {_PAGES_CTE.strip()}
+SELECT ((warc_ts_epoch // 3600) * 3600)::BIGINT AS window_start_epoch,
+       ((warc_ts_epoch // 3600) * 3600 + 3600)::BIGINT AS window_end_epoch,
+       lang,
+       count(*)::BIGINT AS n_docs,
+       sum(length(text))::BIGINT AS n_chars,
+       min(warc_ts_epoch)::BIGINT AS first_ts_epoch,
+       max(warc_ts_epoch)::BIGINT AS last_ts_epoch
+FROM pages
+GROUP BY 1, 2, 3
 """

@@ -297,6 +297,60 @@ def streaming_near_dup_pairs(
     )
 
 
+def crawl_window_stats(
+    pages: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Event-time tumbling-window ingest statistics — the watermarked
+    windowed aggregation a crawl monitor runs over the landing stream:
+    per (window, lang) the doc count, total text chars, and the
+    min/max event second actually observed.
+
+    ONE expression serves batch and streaming (the operator is the
+    aggregation, not the trigger): on a batch frame it is a plain
+    groupBy over the derived window; on a STREAM a watermark is
+    attached first, so state is bounded and append mode emits each
+    window exactly once when the watermark passes its end — rows later
+    than the horizon are dropped as late data (size `watermark` to the
+    crawl's out-of-orderness, same contract as incremental_exact_dedup).
+
+    Output columns are epoch seconds (BIGINT), not timestamps: stable
+    to hash, timezone-free, and identical under batch and streaming.
+
+    Scale shape: partial aggregation map-side, one shuffle on
+    (window, lang) — counters, never row retention; streaming state is
+    one small row per open window × lang.
+
+    Reference analogue: none (the reference is batch-pairwise); this is
+    part of the streaming front-end the rebuild adds (SURVEY.md §2.2
+    row 50), exercising the watermark/window machinery the near-dup
+    operator's custom state cannot."""
+    src = (
+        pages.withWatermark("warc_ts", watermark)
+        if pages.isStreaming
+        else pages
+    )
+    return (
+        src.groupBy(F.window("warc_ts", window).alias("w"), "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("text")).cast("long").alias("n_chars"),
+            F.min(F.unix_timestamp("warc_ts")).alias("first_ts_epoch"),
+            F.max(F.unix_timestamp("warc_ts")).alias("last_ts_epoch"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start_epoch"),
+            F.unix_timestamp(F.col("w.end")).alias("window_end_epoch"),
+            "lang",
+            "n_docs",
+            "n_chars",
+            "first_ts_epoch",
+            "last_ts_epoch",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Incremental tail state
 # ---------------------------------------------------------------------------

@@ -902,3 +902,109 @@ def test_tail_state_lsm_delta_writes_and_compaction(spark, tmp_path):
     assert meta["pairs_deltas"] == []
     prior, _ = load_tail_state(spark, sd, other)
     assert sorted(tuple(r) for r in prior.collect()) == sorted(p0)
+
+
+def test_crawl_window_stats_batch_equals_oracle_shape(spark):
+    """Batch form: epoch-aligned tumbling windows, per-(window, lang)
+    counters — checked against hand-computed values."""
+    from dedup.streaming import crawl_window_stats
+
+    base = 3600 * 473_352  # epoch-aligned hour
+    rows = [
+        ("u1", base + 60, "aaaa", "en"),
+        ("u2", base + 120, "bb", "en"),
+        ("u3", base + 180, "c", "fi"),
+        ("u4", base + 3660, "dd", "en"),  # next window
+    ]
+    pages = spark.createDataFrame(
+        rows, "url string, epoch long, text string, lang string"
+    ).select(
+        "url", F.timestamp_seconds("epoch").alias("warc_ts"), "text", "lang"
+    )
+    got = {
+        (r["window_start_epoch"], r["lang"]): (
+            r["window_end_epoch"], r["n_docs"], r["n_chars"],
+            r["first_ts_epoch"], r["last_ts_epoch"],
+        )
+        for r in crawl_window_stats(pages).collect()
+    }
+    assert got == {
+        (base, "en"): (base + 3600, 2, 6, base + 60, base + 120),
+        (base, "fi"): (base + 3600, 1, 1, base + 180, base + 180),
+        (base + 3600, "en"): (base + 7200, 1, 2, base + 3660, base + 3660),
+    }
+
+
+def test_crawl_window_stats_stream_drops_late_data(spark, tmp_path):
+    """Streaming form: append mode emits a window once the watermark
+    passes its end; a late row INSIDE the horizon still counts, a row
+    BEYOND it is dropped — the watermark contract the batch form
+    doesn't exercise."""
+    from dedup.schema import PAGES_SCHEMA
+    from dedup.streaming import crawl_window_stats, read_pages_stream
+
+    landing = str(tmp_path / "landing")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(landing, exist_ok=True)
+    base = 3600 * 473_352  # W1 = [base, base+3600)
+
+    def drop(name: str, rows: list[tuple[str, int, str, str]]) -> None:
+        df = spark.createDataFrame(
+            rows, "url string, epoch long, text string, lang string"
+        ).select(
+            "url",
+            F.timestamp_seconds("epoch").alias("warc_ts"),
+            F.lit(None).cast("binary").alias("html"),
+            "text",
+            "lang",
+        )
+        # align to the canonical pages schema (extra metadata columns null)
+        for f in PAGES_SCHEMA.fieldNames():
+            if f not in df.columns:
+                df = df.withColumn(f, F.lit(None))
+        df.select(*PAGES_SCHEMA.fieldNames()).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{landing}/{name}")
+
+    def drain() -> None:
+        stream = read_pages_stream(spark, f"{landing}/*", 1)
+        q = (
+            crawl_window_stats(stream, window="1 hour", watermark="1 hour")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+
+    # drop 1: two on-time W1 rows; watermark after = base+120-1h < W1 end
+    drop("d1", [("u1", base + 60, "aa", "en"), ("u2", base + 120, "b", "en")])
+    drain()
+    # drop 2: a LATE W1 row still inside the horizon (watermark from
+    # drop 1 is below W1's end, so it must be merged), plus an advancer
+    # two windows ahead that pushes the watermark past W1's end
+    drop("d2", [
+        ("u3", base + 30, "ccc", "en"),
+        ("adv", base + 3 * 3600 + 5400, "x", "en"),
+    ])
+    drain()
+    # drop 3: a TOO-LATE W1 row (watermark is now base+2.5h > W1 end —
+    # must be dropped) plus a fresh advancer so the batch isn't empty
+    drop("d3", [
+        ("u4", base + 90, "zzzz", "en"),
+        ("adv2", base + 5 * 3600, "x", "en"),
+    ])
+    drain()
+
+    out = spark.read.parquet(sink)
+    w1 = out.filter(F.col("window_start_epoch") == base).collect()
+    assert len(w1) == 1, f"W1 must finalize exactly once, got {w1}"
+    r = w1[0]
+    # u1 + u2 + late-but-in-horizon u3; too-late u4 excluded
+    assert r["n_docs"] == 3
+    assert r["n_chars"] == 6  # 'aa' + 'b' + 'ccc'
+    assert r["first_ts_epoch"] == base + 30
+    assert r["last_ts_epoch"] == base + 120
