@@ -37,7 +37,7 @@ def test_gram_counts_and_edges(spark):
             ("u2", "a b c"),         # exactly n words -> 1 gram
             ("u3", "a b"),           # < n words -> 0 grams (guard!)
             ("u4", ""),              # empty -> 0 grams
-            ("u5", "x x x x"),       # repeated gram 'x x x' twice -> distinct 1? no: 2 windows, same gram -> 1
+            ("u5", "x x x x"),       # 2 windows, same gram -> distinct 1
         ],
     )
     out = {
@@ -200,3 +200,36 @@ def test_matches_duckdb_oracle_sf0001(spark, sf_dir):
     o = odf.sort_values(key, ignore_index=True)[s.columns]
     assert len(s) == len(o)
     assert s.equals(o.astype(s.dtypes.to_dict()))
+
+
+def test_random_sweep_grams_match_python_h60(spark):
+    """Seeded randomized cross-check of the whole gram construction —
+    tokenize, window, distinct, portable hash — against an independent
+    pure-Python md5 reference (one Spark job for all docs)."""
+    import hashlib
+    import random
+
+    rng = random.Random(7)
+    vocab = ["a", "bb", "ccc", "dd0", "e", "ff", "g9", "h", "i", "jj"]
+    docs = []
+    for i in range(60):
+        nw = rng.randint(0, 8)
+        docs.append((f"u{i}", " ".join(rng.choice(vocab) for _ in range(nw))))
+
+    def py_h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def py_grams(text: str, n: int) -> set[int]:
+        w = text.split(" ") if text else []
+        return {
+            py_h60(" ".join(w[i : i + n])) for i in range(len(w) - n + 1)
+        }
+
+    got = {
+        r["url"]: set(r["g"])
+        for r in _pages(spark, docs)
+        .select("url", word_ngram_hashes(F.col("norm_text"), CFG).alias("g"))
+        .collect()
+    }
+    want = {u: py_grams(t, CFG.ngram_n) for u, t in docs}
+    assert got == want
