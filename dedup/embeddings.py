@@ -646,3 +646,38 @@ def ivf_topk(
         "vec_id", _fixed_point(F.col("embedding")).alias("v")
     ).withColumn("v_n2", norm2_fixed(F.col("v")))
     return _exact_rerank_topk(cand, fixed, k)
+
+
+def ivf_save_index(spark, centroids: np.ndarray, path: str) -> None:
+    """Persist a fitted IVF coarse quantizer (ivf_fit_centroids output)
+    as parquet (cell, weights) rows — the build-once / query-many
+    deployment shape: at 100 TB the corpus snapshot's quantizer is
+    fitted once and every later search run (or executor) loads the tiny
+    model instead of re-scanning the corpus. One row per centroid, cell
+    ids explicit so the load is order-independent."""
+    rows = [
+        (int(c), [float(x) for x in centroids[c]])
+        for c in range(len(centroids))
+    ]
+    spark.createDataFrame(
+        rows, "cell int, weights array<float>"
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def ivf_load_index(spark, path: str) -> np.ndarray:
+    """Load a quantizer saved by ivf_save_index. Returns the same
+    (n_centroids, dim) float32 matrix regardless of file/row order; an
+    empty or missing-dir index degrades to the no-model shape ivf_topk
+    already handles (empty result, never a crash)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        rows = spark.read.parquet(path).collect()
+    except AnalysisException:
+        return np.zeros((0, 0), dtype=np.float32)
+    if not rows:
+        return np.zeros((0, 0), dtype=np.float32)
+    by_cell = sorted(rows, key=lambda r: r["cell"])
+    return np.asarray(
+        [list(r["weights"]) for r in by_cell], dtype=np.float32
+    )

@@ -378,3 +378,36 @@ def test_hyperplane_batch_keys_null_first_row_degrades_per_row(spark):
         [(0, None), (1, [])], "vec_id long, embedding array<float>"
     )
     assert hyperplane_keys_batch(allnull, 4, [42]).count() == 0
+
+
+def test_ivf_index_save_load_roundtrip_and_search_equivalence(spark, tmp_path):
+    """The deployment shape: fit once, save, load in a 'later run', and
+    get bit-identical search results to the in-memory model."""
+    import numpy as np
+
+    from dedup.embeddings import (
+        ivf_fit_centroids,
+        ivf_load_index,
+        ivf_save_index,
+        ivf_topk,
+    )
+
+    rng = np.random.default_rng(3)
+    rows = [
+        (i, [float(x) for x in rng.normal(size=8)]) for i in range(120)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = ivf_fit_centroids(emb, n_centroids=8, sample=64, seed=5)
+    path = str(tmp_path / "ivf_index")
+    ivf_save_index(spark, cents, path)
+    loaded = ivf_load_index(spark, path)
+    assert loaded.dtype == np.float32 and loaded.shape == cents.shape
+    assert np.array_equal(loaded, cents.astype(np.float32))
+
+    a = ivf_topk(emb, k=3, nprobe=4, centroids=cents).collect()
+    b = ivf_topk(emb, k=3, nprobe=4, centroids=loaded).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert len(a) > 0
+
+    # missing / empty index degrades to the no-model shape, not a crash
+    assert ivf_load_index(spark, str(tmp_path / "nope")).shape == (0, 0)
