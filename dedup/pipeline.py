@@ -18,9 +18,9 @@ pair-verification join.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
 
-from pyspark.sql import Column, DataFrame, functions as F
+
+from pyspark.sql import DataFrame, functions as F
 
 from dedup.candidates import (
     exact_edges,
@@ -46,20 +46,68 @@ from dedup.verify import (
 )
 
 
-@dataclass
 class DedupResult:
-    clean: DataFrame          # quarantine-filtered normalized pages (narrow)
-    quarantined: DataFrame    # rows excluded before pairing
-    shingle_sets: DataFrame   # (url, shingles, sig) for representatives (lazy)
-    candidates: DataFrame     # raw LSH candidate pairs
-    hot_buckets: DataFrame    # capped buckets (skew lineage)
-    pairs: DataFrame          # candidates + jaccard + reasons + stat columns
-    edges: DataFrame          # verified edges, all channels
-    assignments: DataFrame    # (url, cluster_id) for every clean url
-    survivors: DataFrame      # one accepted merged row per cluster + lineage
-    rejected: DataFrame       # post-merge-rejected survivor rows (quarantine
-                              # routing for the both-authorized case)
-    cached: tuple = ()        # every DataFrame this run persisted
+    """Result surfaces of one run_dedup call.
+
+    clean        — quarantine-filtered normalized pages (narrow)
+    quarantined  — rows excluded before pairing
+    shingle_sets — (url, shingles, sig) for representatives (lazy)
+    candidates   — raw LSH candidate pairs
+    hot_buckets  — capped buckets (skew lineage)
+    pairs        — candidates + jaccard + reasons + stat columns
+    edges        — verified edges, all channels
+    assignments  — (url, cluster_id) for every clean url
+    survivors    — one accepted merged row per cluster + lineage
+    rejected     — post-merge-rejected survivor rows (quarantine routing
+                   for the both-authorized case)
+    cached       — every DataFrame this run persisted
+
+    `quarantined`, `pairs` and `edges` accept zero-arg thunks and are
+    built LAZILY on first attribute access (then memoized): building
+    those frames re-walks the full verification tree through Catalyst
+    analysis — pure driver wall that the common callers (bench, entry,
+    the streaming tail) never need because they read only
+    assignments/survivors. Callers that do read them see the identical
+    frames, just constructed on demand.
+    """
+
+    def __init__(
+        self,
+        clean: DataFrame,
+        quarantined,
+        shingle_sets: DataFrame,
+        candidates: DataFrame,
+        hot_buckets: DataFrame,
+        pairs,
+        edges,
+        assignments: DataFrame,
+        survivors: DataFrame,
+        rejected: DataFrame,
+        cached: tuple = (),
+    ) -> None:
+        self.clean = clean
+        self.shingle_sets = shingle_sets
+        self.candidates = candidates
+        self.hot_buckets = hot_buckets
+        self.assignments = assignments
+        self.survivors = survivors
+        self.rejected = rejected
+        self.cached = cached
+        self._lazy = {
+            "quarantined": quarantined, "pairs": pairs, "edges": edges
+        }
+
+    def __getattr__(self, name: str):
+        # only called when `name` is not in __dict__ — i.e. the lazy
+        # fields before their first access
+        lazy = self.__dict__.get("_lazy") or {}
+        if name in lazy:
+            val = lazy.pop(name)
+            if callable(val):
+                val = val()
+            setattr(self, name, val)  # memoize: next access is direct
+            return val
+        raise AttributeError(name)
 
     def release(self) -> None:
         """Unpersist every cache the run pinned. Call when done with
@@ -156,7 +204,9 @@ def run_dedup(
         # On a real cluster this is the natural stage-checkpoint point.
         clean = clean.persist(StorageLevel.MEMORY_AND_DISK)
         cached.append(clean)
-    quarantined = norm.join(clean.select("url"), "url", "left_anti")
+
+    def quarantined_fn(norm=norm, clean=clean) -> DataFrame:
+        return norm.join(clean.select("url"), "url", "left_anti")
 
     # surrogate ids: every band/candidate/CC shuffle moves a compact key
     # instead of a ~50-byte url string (the pipeline is memory-
@@ -231,7 +281,11 @@ def run_dedup(
 
         def _warm(clean=clean, keyed=keyed, sigs=sigs) -> None:
             try:
-                clean.count()
+                # ONE job warms the clean cache AND runs the uid
+                # invariant: materializing a cached plan stores every
+                # column, so the agg's scan populates the cache exactly
+                # like a count() would — a separate count was one full
+                # extra pass in the warm thread's serial chain
                 if cfg.check_uid_collisions:
                     r = keyed.agg(
                         F.count("url").alias("n"),
@@ -243,6 +297,8 @@ def run_dedup(
                             "distinct xxhash64 surrogates; rerun with a "
                             "128-bit surrogate key"
                         )
+                else:
+                    clean.count()
                 sigs.count()
             except BaseException as exc:  # noqa: BLE001 — re-raised on join
                 warm_errs.append(exc)
@@ -303,7 +359,11 @@ def run_dedup(
     if persist:
         # feats is consumed twice (pair verification + the members tail
         # after CC); persisting the narrow projection avoids recomputing
-        # it and keeps the post-CC plans shallow
+        # it and keeps the post-CC plans shallow. (A lazy localCheckpoint
+        # here — truncating the analyzed plan — was tried in r6 and
+        # MEASURED SLOWER: its toRdd call plans the feats subtree
+        # serially at build time, where the persist defers that work
+        # into the edges action's overlapped planning.)
         feats = feats.persist(StorageLevel.MEMORY_AND_DISK)
         cached.append(feats)
     if cfg.estimate_prefilter and cfg.hash_mode == "fast":
@@ -314,6 +374,16 @@ def run_dedup(
         # join then ships the (much wider) shingle arrays for the
         # surviving ~5-10% only.
         all_candidates = _estimate_filter(all_candidates, sigs, groups, cfg)
+    # orientation contract (pair_reasons: side `a` = lexicographically-
+    # smaller REAL url) enforced HERE, on slim uid pair rows, instead of
+    # the old post-attach ~40-column conditional projection: Catalyst's
+    # CollapseProject inlined that projection's CASE WHEN wrappers into
+    # every downstream reason/rule expression (each a_X reference became
+    # a conditional), blowing up the optimizer's tree and the planning
+    # wall. Two broadcast joins on the slim ids table + a 2-column swap
+    # replace it; attach_features then binds a_/b_ columns already in
+    # real-url order, so the plan carries plain join outputs.
+    all_candidates = _orient_uid_pairs(all_candidates, ids)
     if persist:
         # LAZY plan split at the narrowest waist (16-byte pair rows):
         # Catalyst's optimizer cost grows super-linearly with tree size,
@@ -326,7 +396,7 @@ def run_dedup(
         all_candidates, rep_pages, groups, cfg, persist=persist,
         cache_registry=cached,
     )
-    pairs = _orient_by_real_url(attach_features(with_j, feats))
+    pairs = attach_features(with_j, feats)
     uid_hosts = (
         host_ids.join(
             ids, host_ids.url == ids.real_url
@@ -364,7 +434,9 @@ def run_dedup(
         bypass = to_uid_pairs(bypass_jaccard_channels[0])
         for ch in bypass_jaccard_channels[1:]:
             bypass = bypass.unionByName(to_uid_pairs(ch))
-        bpairs = _orient_by_real_url(attach_features(bypass.distinct(), feats))
+        bpairs = attach_features(
+            _orient_uid_pairs(bypass.distinct(), ids), feats
+        )
         bpairs = pair_reasons(
             bpairs, cfg, uid_hosts,
             rule_columns=rule_columns or None,
@@ -443,31 +515,41 @@ def run_dedup(
     rejected = survivors.filter(F.col("reject_reason").isNotNull())
     survivors = survivors.filter(F.col("reject_reason").isNull())
 
-    # result surfaces carry real urls
-    pairs_out = (
-        pairs.withColumn("url_a", F.col("a_real_url"))
-        .withColumn("url_b", F.col("b_real_url"))
-    )
-    er = ids.select(F.col("uid").alias("url_a"), F.col("real_url").alias("ra"))
-    eb = ids.select(F.col("uid").alias("url_b"), F.col("real_url").alias("rb"))
-    edges_out = (
-        edges.join(er, "url_a").join(eb, "url_b")
-        .select(
-            F.least("ra", "rb").alias("url_a"),
-            F.greatest("ra", "rb").alias("url_b"),
+    # result surfaces carry real urls; built lazily (DedupResult
+    # memoizes on first access) — constructing them walks the full
+    # verification tree through analysis again, pure driver wall the
+    # bench/entry/streaming callers never pay
+    def pairs_fn(pairs=pairs) -> DataFrame:
+        return (
+            pairs.withColumn("url_a", F.col("a_real_url"))
+            .withColumn("url_b", F.col("b_real_url"))
         )
-    )
+
+    def edges_fn(edges=edges, ids=ids) -> DataFrame:
+        er = ids.select(
+            F.col("uid").alias("url_a"), F.col("real_url").alias("ra")
+        )
+        eb = ids.select(
+            F.col("uid").alias("url_b"), F.col("real_url").alias("rb")
+        )
+        return (
+            edges.join(er, "url_a").join(eb, "url_b")
+            .select(
+                F.least("ra", "rb").alias("url_a"),
+                F.greatest("ra", "rb").alias("url_b"),
+            )
+        )
 
     if timings is not None:
         timings["tail_build_s"] = round(_time.time() - _t0, 3)
     return DedupResult(
         clean=clean,
-        quarantined=quarantined,
+        quarantined=quarantined_fn,
         shingle_sets=sig_full,
         candidates=raw_candidates,
         hot_buckets=hot,
-        pairs=pairs_out,
-        edges=edges_out,
+        pairs=pairs_fn,
+        edges=edges_fn,
         assignments=members.select("url", "cluster_id"),
         survivors=survivors,
         rejected=rejected,
@@ -475,37 +557,36 @@ def run_dedup(
     )
 
 
-def _orient_by_real_url(pairs: DataFrame) -> DataFrame:
-    """Enforce pair_reasons' orientation contract: side `a` is the
-    lexicographically-smaller REAL url (dedup/verify.py:111 — the
-    reference's preferred/other convention). Channels order pairs by
-    the opaque surrogate uid, which is fine for the SET (dedup,
-    distinct, CC are orientation-free) but NOT for the asymmetric
-    gates (diacritics, preferred-superset rules): left as uid order,
-    a pair's can_merge would depend on which hash the run used, so
-    uid_bits=64 and 128 could yield different clusters. One swap
-    projection after attach_features (a_real_url/b_real_url are
-    already on the row — no extra join)."""
-    if "a_real_url" not in pairs.columns or "b_real_url" not in pairs.columns:
-        return pairs
-    swap = F.col("a_real_url") > F.col("b_real_url")
+def _orient_uid_pairs(pairs: DataFrame, ids: DataFrame) -> DataFrame:
+    """Enforce pair_reasons' orientation contract — side `a` is the
+    lexicographically-smaller REAL url (dedup/verify.py:111, the
+    reference's preferred/other convention) — on SLIM uid pair rows.
+    Channels order pairs by the opaque surrogate uid, which is fine for
+    the SET (dedup, distinct, CC are orientation-free) but NOT for the
+    asymmetric gates (diacritics, preferred-superset rules): left as
+    uid order, a pair's can_merge would depend on which hash the run
+    used, so uid_bits=64 and 128 could yield different clusters.
 
-    def pick(c: str) -> Column:
-        if c == "url_a":
-            other = "url_b"
-        elif c == "url_b":
-            other = "url_a"
-        elif c.startswith("a_"):
-            other = "b_" + c[2:]
-        elif c.startswith("b_"):
-            other = "a_" + c[2:]
-        else:
-            return F.col(c)
-        if other not in pairs.columns:  # one-sided column: leave as is
-            return F.col(c)
-        return F.when(swap, F.col(other)).otherwise(F.col(c)).alias(c)
-
-    return pairs.select(*[pick(c) for c in pairs.columns])
+    Orientation happens BEFORE attach_features on purpose: the old
+    post-attach conditional projection (CASE WHEN swap per prefixed
+    column) was inlined by CollapseProject into every reason/rule
+    expression downstream — a measured plan-size/planning-wall blowup.
+    Here only the two 8/16-byte key columns swap; every non-key column
+    of `pairs` (jaccard, collision counts) is pair-symmetric and rides
+    through unchanged."""
+    ra = ids.select(F.col("uid").alias("url_a"), F.col("real_url").alias("_ra"))
+    rb = ids.select(F.col("uid").alias("url_b"), F.col("real_url").alias("_rb"))
+    others = [c for c in pairs.columns if c not in ("url_a", "url_b")]
+    swap = F.col("_ra") > F.col("_rb")
+    return (
+        pairs.join(ra, "url_a")
+        .join(rb, "url_b")
+        .select(
+            F.when(swap, F.col("url_b")).otherwise(F.col("url_a")).alias("url_a"),
+            F.when(swap, F.col("url_a")).otherwise(F.col("url_b")).alias("url_b"),
+            *others,
+        )
+    )
 
 
 def _uid_sources(sources: DataFrame, ids: DataFrame) -> DataFrame:
