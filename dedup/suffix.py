@@ -206,40 +206,99 @@ def suffix_array_lcp_pairs(
     width = min(min_lcp, 64)
     if n < width:
         return []
-    view = np.lib.stride_tricks.sliding_window_view(b, width)
-    # drop suffixes whose window crosses a doc boundary (contains \x00)
-    valid = ~(view == 0).any(axis=1)
+    # drop suffixes whose window crosses a doc boundary: equivalent to
+    # scanning the window for the \x00 separator, but O(m) on the
+    # doc_of array instead of O(m × width) on the bytes — doc ids are
+    # monotone with exactly one -1 between docs, so first byte and last
+    # byte in the same doc ⇒ the whole window is
+    m0 = n - width + 1
+    valid = (doc_of[:m0] == doc_of[width - 1:]) & (doc_of[:m0] >= 0)
     vidx = np.nonzero(valid)[0]
     if len(vidx) < 2:
         return []
-    vv = view[vidx]
-    perm = np.lexsort(vv.T[::-1])
-    sorted_view = vv[perm]
-    sorted_docs = doc_of[vidx[perm]]
+    vv = np.lib.stride_tricks.sliding_window_view(b, width)[vidx]
+    # Two-level grouping — the full-width lexsort was the kernel's
+    # remaining hot spot and only the equal-window RUNS matter, not the
+    # total order: (1) one cheap 64-bit mix of the window's u64 words
+    # puts every pair of EQUAL windows under an equal hash; (2) rows
+    # whose hash repeats (true duplicates + ~2^-64 collisions, a tiny
+    # subset of the dominant unique tail) go through the exact
+    # byte-level lexsort + equality run detection, so collisions can
+    # only add rows to the exact pass, never a wrong pair. Result is
+    # identical to lexsorting all rows; the unique tail skips the
+    # width-key sort entirely.
+    from dedup.hashing import splitmix64
+
+    nw = (width + 7) // 8
+    if width % 8 == 0:
+        words = np.ascontiguousarray(vv).view(np.uint64)
+    else:  # zero-pad the tail word (equal padding, equal hashes)
+        pad = np.zeros((len(vv), nw * 8 - width), dtype=np.uint8)
+        words = np.ascontiguousarray(
+            np.concatenate([vv, pad], axis=1)
+        ).view(np.uint64)
+    h = words[:, 0].copy()
+    for k in range(1, nw):
+        h = splitmix64(h ^ words[:, k])
+    order = np.argsort(h, kind="stable")
+    hs = h[order]
+    eqh = hs[1:] == hs[:-1]
+    dup = np.zeros(len(hs), dtype=bool)
+    dup[1:] |= eqh
+    dup[:-1] |= eqh
+    cand_rows = order[dup]
+    if len(cand_rows) < 2:
+        return []
+    vv2 = vv[cand_rows]
+    perm = np.lexsort(vv2.T[::-1])
+    sorted_view = vv2[perm]
+    sorted_docs = doc_of[vidx[cand_rows[perm]]]
     # vectorized run detection: adjacent equal width-slices share a run
-    # id; only rows in ≥2-member runs survive, so the Python loop below
-    # touches duplicate passages only, never the (dominant) unique tail
+    # id; only rows in ≥2-member runs survive the pair expansion below
     eq = (sorted_view[1:] == sorted_view[:-1]).all(axis=1)
     run_id = np.concatenate([[0], np.cumsum(~eq)])
     sizes = np.bincount(run_id)
     keep = sizes[run_id] >= 2
     kept_rid = run_id[keep]
     kept_doc = sorted_docs[keep]
-    out: set[tuple[str, str]] = set()
-    if len(kept_rid):
-        bounds = np.nonzero(np.diff(kept_rid))[0] + 1
-        for run in np.split(kept_doc, bounds):
-            _emit_run(set(int(d) for d in run), ids, out)
+    if not len(kept_rid):
+        return []
+    # Vectorized run → pair expansion. The old per-run Python loop
+    # (np.split + nested emit over every ≥2-member run) was the
+    # channel's measured CPU hot spot — 5.7M tiny-run iterations ≈ 45
+    # of the 56 kernel CPU-seconds at 30k docs, vs ~1.3 s for the
+    # suffix sort itself. Same relation, whole-array ops only:
+    nd = np.int64(len(ids))
+    # 1. distinct (run, doc) membership — a doc's repeated suffixes in
+    #    one run must not multiply pairs (the old set() per run)
+    uk = np.unique(kept_rid.astype(np.int64) * nd + kept_doc)
+    rid, doc = uk // nd, uk % nd
+    starts = np.concatenate([[0], np.nonzero(np.diff(rid))[0] + 1])
+    run_sizes = np.diff(np.append(starts, len(rid)))
+    # 2. all unordered pairs per run, batched by run size (bounded by
+    #    the caller's block cap): runs of one size stack into a (k, s)
+    #    matrix and emit their triu index pairs in bulk
+    pair_keys = []
+    for s in np.unique(run_sizes):
+        if s < 2:
+            continue
+        sel = starts[run_sizes == s]
+        docs_mat = doc[sel[:, None] + np.arange(s)[None, :]]  # (k, s)
+        iu, ju = np.triu_indices(int(s), k=1)
+        a = docs_mat[:, iu].ravel()
+        b = docs_mat[:, ju].ravel()
+        pair_keys.append(np.minimum(a, b) * nd + np.maximum(a, b))
+    if not pair_keys:
+        return []
+    # 3. dedup across runs on integer keys; map to urls and order each
+    #    pair lexicographically at the end (doc-index order is
+    #    insertion order, not url order)
+    pk = np.unique(np.concatenate(pair_keys))
+    out = []
+    for i, j in zip(pk // nd, pk % nd):
+        x, y = ids[int(i)], ids[int(j)]
+        out.append((x, y) if x < y else (y, x))
     return sorted(out)
-
-
-def _emit_run(run_docs: set[int], ids: list[str], out: set) -> None:
-    if len(run_docs) < 2:
-        return
-    docs = sorted(run_docs)
-    for i, a in enumerate(docs):
-        for bdoc in docs[i + 1 :]:
-            out.add(tuple(sorted((ids[a], ids[bdoc]))))
 
 
 def _auto_block_cap(blocks: DataFrame, q: float = 0.99) -> int:
