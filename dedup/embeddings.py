@@ -383,6 +383,12 @@ def lsh_bucketed_topk(
     """
     n_probes = max(1, min(n_probes, n_planes + 1))
 
+    from dedup.session import ensure_scan_parallelism
+
+    # single-row-group embedding drops scan as one task and the Arrow
+    # key/cosine kernels inherit it (guide §2.5); no-op at real scale
+    embeddings = ensure_scan_parallelism(embeddings)
+
     fixed = embeddings.select(
         "vec_id", _fixed_point(F.col("embedding")).alias("v")
     ).withColumn("v_n2", norm2_fixed(F.col("v")))
@@ -583,6 +589,12 @@ def ivf_topk(
     `mapInPandas` pass each (a BLAS matvec against the broadcast
     centroid matrix — no per-row Python); candidates are slim
     (q_id, vec_id) rows DISTINCT-ed before any vector joins."""
+    from dedup.session import ensure_scan_parallelism
+
+    # same single-row-group scan guard as lsh_bucketed_topk (§2.5);
+    # applied before the fit so its sample scan parallelizes too
+    embeddings = ensure_scan_parallelism(embeddings)
+
     cents = (
         centroids
         if centroids is not None

@@ -99,7 +99,15 @@ def documents_to_pages(docs: DataFrame) -> DataFrame:
 
 
 def load_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return documents_to_pages(load_documents(spark, sf_dir))
+    from dedup.session import ensure_scan_parallelism
+
+    # the driver documents table ships as ONE parquet row group —
+    # unsplittable, so without the guard the whole normalize/signature
+    # front downstream runs as a single task (guide §2.5 input skew);
+    # no-op on inputs that already split
+    return documents_to_pages(
+        ensure_scan_parallelism(load_documents(spark, sf_dir))
+    )
 
 
 # contract for JSONL web-corpus drops (the shape C4/CC-derived corpora

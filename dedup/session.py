@@ -39,6 +39,27 @@ def auto_shuffle_partitions(
     )
 
 
+def ensure_scan_parallelism(df, min_parts: int | None = None):
+    """Input-skew guard (optimization guide §2.5): a small input that
+    arrives as one unsplittable parquet row group scans as ONE task,
+    and every narrow stage downstream (normalize chain, Arrow kernels)
+    inherits that single partition — measured as whole pipeline fronts
+    running serially on one core. Repartition up to the session's
+    default parallelism when (and only when) the scan is below it: on
+    any real multi-file/multi-row-group input the guard is a no-op and
+    plans no shuffle, so it is scale-safe by construction.
+
+    Round-robin repartition is deterministic under retries (Spark sorts
+    before keyless repartition — SPARK-23207) and every consumer here
+    is row-set semantics (joins/aggregates/windows with total
+    orderings), so results are partitioning-independent."""
+    sc = df.sparkSession.sparkContext
+    target = int(min_parts or sc.defaultParallelism)
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def get_spark(
     app_name: str = "dedup",
     master: str | None = None,
@@ -65,6 +86,18 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE's coalescing floors post-shuffle partitions at this SIZE
+        # (default 1m). With parallelismFirst (default on) the target is
+        # min(advisory, max(stage_bytes/parallelism, THIS)), so on any
+        # real-scale stage the floor never binds — but a CPU-dense
+        # Arrow/pandas stage over few megabytes was measured coalescing
+        # to a third of the cores (bytes are a bad proxy for python
+        # compute). 64k keeps small-but-hot stages at full parallelism;
+        # override for other hardware via DEDUP_MIN_COALESCED_PARTITION.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("DEDUP_MIN_COALESCED_PARTITION", "64k"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
