@@ -667,6 +667,11 @@ def ivf_save_index(spark, centroids: np.ndarray, path: str) -> None:
     fitted once and every later search run (or executor) loads the tiny
     model instead of re-scanning the corpus. One row per centroid, cell
     ids explicit so the load is order-independent."""
+    # enforce the lossless round-trip contract at the door: the table
+    # schema is array<float>, so a float64 matrix would silently
+    # downcast on write — cast HERE so save(load(x)) == load(save(x))
+    # for every caller, not just ivf_fit_centroids output (ADVICE r5)
+    centroids = np.asarray(centroids, dtype=np.float32)
     rows = [
         (int(c), [float(x) for x in centroids[c]])
         for c in range(len(centroids))

@@ -101,7 +101,10 @@ def ngram_dup_pairs(
     `clean` needs (url, norm_text). When `cache_registry` is given the
     gram table is persisted into it (three consumers: df counts, the
     two sides of the candidate self-join; ownership follows the
-    registry convention — caller unpersists).
+    registry convention — caller unpersists). Registry-less calls
+    (direct production use, the driver query) recompute the gram table
+    once per consumer — up to 3× — rather than pin a session-lifetime
+    cache; pass a registry when calling in a loop.
     """
     cap = cfg.ngram_df_cap
     thr_micro = int(round(cfg.ngram_jaccard_threshold * MICRO))
@@ -140,9 +143,13 @@ def ngram_dup_pairs(
     sb = sets.select(F.col("url").alias("url_b"), F.col("gset").alias("g_b"))
     inter = F.size(F.array_intersect("g_a", "g_b")).cast("long")
     union = (F.size("g_a") + F.size("g_b")).cast("long") - inter
-    # integer `div` in SQL text (the established oracle-micro idiom,
-    # dedup/driver_queries._jaccard) — a candidate pair shares ≥ 1 gram,
-    # so the union is never zero
+    # two-step select: n_inter/n_union are projected ONCE and
+    # jaccard_micro derives from those columns — the old single-select
+    # re-spelled size(array_intersect(...)) three times inside an
+    # F.expr string, relying on codegen CSE for cost and on the SQL
+    # text never drifting from the Column-built definitions (ADVICE
+    # r5). Integer `div` keeps the established oracle-micro idiom; a
+    # candidate pair shares ≥ 1 gram, so the union is never zero.
     pairs = (
         cand.join(sa, "url_a")
         .join(sb, "url_b")
@@ -151,10 +158,14 @@ def ngram_dup_pairs(
             "url_b",
             inter.alias("n_inter"),
             union.alias("n_union"),
+        )
+        .select(
+            "url_a",
+            "url_b",
+            "n_inter",
+            "n_union",
             F.expr(
-                f"CAST(({MICRO} * size(array_intersect(g_a, g_b))) div "
-                "(size(g_a) + size(g_b) - size(array_intersect(g_a, g_b)))"
-                " AS BIGINT)"
+                f"CAST(({MICRO} * n_inter) div n_union AS BIGINT)"
             ).alias("jaccard_micro"),
         )
         .filter(F.col("jaccard_micro") >= thr_micro)

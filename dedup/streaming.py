@@ -355,7 +355,9 @@ def crawl_window_stats(
 # Incremental tail state
 # ---------------------------------------------------------------------------
 
-TAIL_STATE_VERSION = 2
+TAIL_STATE_VERSION = 3  # v3 adds the prior-survivor store (dirty-
+#   cluster survivor reuse); v2 dirs fail the version check and degrade
+#   to one full recompute, never to wrong output
 
 
 def _cfg_fingerprint(cfg: DedupConfig) -> str:
@@ -436,6 +438,28 @@ def load_tail_cursor(state_dir: str, cfg: DedupConfig) -> str | None:
     return meta.get("cursor")
 
 
+def load_tail_survivors(
+    spark: SparkSession, state_dir: str, cfg: DedupConfig
+) -> DataFrame | None:
+    """The prior drain's full survivor table (kept ∪ rejected rows),
+    or None when absent/invalid — the tail then falls back to a full
+    survivor recompute (correct, just not O(delta))."""
+    meta = _read_state_meta(state_dir)
+    if (
+        meta is None
+        or meta.get("version") != TAIL_STATE_VERSION
+        or meta.get("cfg") != _cfg_fingerprint(cfg)
+        or not meta.get("survivors")
+    ):
+        return None
+    try:
+        return spark.read.parquet(
+            os.path.join(state_dir, meta["survivors"])
+        )
+    except AnalysisException:
+        return None
+
+
 def save_tail_state(
     state_dir: str,
     new_pairs: DataFrame,
@@ -444,6 +468,7 @@ def save_tail_state(
     cfg: DedupConfig,
     cursor: str | None = None,
     compact_every: int = 16,
+    survivors: DataFrame | None = None,
 ) -> None:
     """Commit this drain's gated pairs + assignments (and the pairs-
     store read cursor, see load_tail_cursor) as the next drain's prior
@@ -506,6 +531,15 @@ def save_tail_state(
         base = _write(f"pairs_base_v{epoch}", full_pairs)
         deltas = []
     assignments_dir = _write(f"assignments_v{epoch}", assignments)
+    # survivors: narrow per-cluster rows, rewritten whole like the
+    # assignments (a merged cluster supersedes its members' old rows,
+    # so there is no per-row delta to exploit without a compaction
+    # log); COMPUTE per drain is O(delta) via dirty-cluster reuse
+    survivors_dir = (
+        _write(f"survivors_v{epoch}", survivors)
+        if survivors is not None
+        else None
+    )
     marker = os.path.join(state_dir, "state.json")
     tmp = marker + ".tmp"
     with open(tmp, "w") as f:
@@ -518,6 +552,7 @@ def save_tail_state(
                 "pairs_base": base,
                 "pairs_deltas": deltas,
                 "assignments": assignments_dir,
+                "survivors": survivors_dir,
             },
             f,
         )
@@ -525,11 +560,13 @@ def save_tail_state(
     # GC: keep every dir referenced by the marker just written or by
     # the previous one (lazy readers); delete the rest of our prefixes
     referenced = set(deltas) | {assignments_dir} | ({base} if base else set())
+    if survivors_dir:
+        referenced.add(survivors_dir)
     if meta:
         referenced |= set(meta.get("pairs_deltas") or [])
         referenced |= {
             meta.get(k)
-            for k in ("pairs_base", "assignments")
+            for k in ("pairs_base", "assignments", "survivors")
             if meta.get(k)
         }
         if meta.get("version") == 1 and "epoch" in meta:  # pre-LSM layout
@@ -540,7 +577,8 @@ def save_tail_state(
         if name in referenced or name == "state.json":
             continue
         for prefix in (
-            "pairs_v", "pairs_base_v", "pairs_delta_v", "assignments_v"
+            "pairs_v", "pairs_base_v", "pairs_delta_v", "assignments_v",
+            "survivors_v",
         ):
             if name.startswith(prefix):
                 try:
@@ -564,6 +602,9 @@ class StreamingDedupResult:
     new_pairs: DataFrame | None = None  # pairs gated THIS drain only
     #   (the O(delta) slice save_tail_state persists; == pairs on a
     #   full recompute)
+    survivors_all: DataFrame | None = None  # survivors ∪ rejected, the
+    #   pre-split frame save_tail_state persists as the next drain's
+    #   prior survivor store
 
     def release(self) -> None:
         """Unpersist every cache the tail pinned (same contract as
@@ -661,6 +702,8 @@ def streaming_verify_tail(
     run_ts: str = "1970-01-01T00:00:00+00:00",
     prior_pairs: DataFrame | None = None,
     prior_assignments: DataFrame | None = None,
+    prior_survivors: DataFrame | None = None,
+    new_page_urls: DataFrame | None = None,
     timings: dict | None = None,
 ) -> StreamingDedupResult:
     """Run the stream's candidates through the SAME tail as the batch
@@ -686,19 +729,30 @@ def streaming_verify_tail(
       candidate pairs not in prior_pairs (pair content is immutable:
       store rows never change and the gates are pure functions of the
       two rows + side tables, so a gated pair never needs re-gating);
-    * connected components runs on prior ASSIGNMENTS folded to star
-      edges (cluster_id ← url) unioned with the new verified edges —
-      components of closure(E_old) ∪ E_new equal components of
-      E_old ∪ E_new, and cluster_id = component-min is preserved, so
-      the folded labels are IDENTICAL to a full recompute;
-    * the survivor window re-runs over all members (pure Column window
-      work — no Python UDF — and clusters merged by a new edge change
-      their survivor, so per-cluster reuse would need dirty tracking
-      for little gain).
+    * connected components runs on the DIRTY SLICE only: prior clusters
+      touched by a new verified edge are folded to star edges
+      (cluster_id ← url) and unioned with the new edges; untouched
+      prior assignments are kept verbatim (no new edge can change a
+      component none of its members appear in) — components and
+      min-labels are IDENTICAL to a full recompute;
+    * the survivor window (select → reprint → authorized override)
+      re-runs ONLY over the dirty clusters plus this drain's new
+      singleton urls (dirty-cluster tracking — the reference's
+      post-merge work is per merged pair, post-merge-modifiers.js, not
+      per corpus). Untouched clusters reuse their prior survivor rows
+      from `prior_survivors`, re-stamped with this drain's
+      run_id/run_ts so the output equals a full recompute exactly.
+      Without a prior survivor store (older state) the survivor chain
+      falls back to the full-membership recompute.
+    * `new_page_urls` (the pages-store read cursor's delta, when the
+      caller has one) bounds the singleton fill to this drain's new
+      urls; without it the fill derives the delta by anti-joining the
+      store against the prior assignments (degraded, still correct).
     Outputs are identical to a full recompute by construction.
 
-    timings (optional dict) receives n_cand_total / n_cand_new — the
-    delta-evidence counters the incremental tests assert on.
+    timings (optional dict) receives n_cand_total / n_cand_new plus
+    n_dirty_clusters / n_prior_survivors_kept — the delta-evidence
+    counters the incremental tests assert on.
     """
     from dedup.cluster import assignments_with_singletons, connected_components
     from dedup.minhash import with_shingles
@@ -726,16 +780,33 @@ def streaming_verify_tail(
     # they re-pay the explode + store join each drain. Two semi-joins
     # on the narrow url column kill them at the door instead.
     live = pages_store.select("url")
+    if prior_pairs is not None:
+        # incremental drains read a CURSOR-bounded candidate delta, so
+        # `cand` is small while the accumulated store is the big side:
+        # invert the membership check so the broadcast side is the
+        # delta (guide §3.1 — never shuffle the store for a small
+        # probe). live_urls = store ∩ cand-endpoints is delta-sized;
+        # the semi-joins below then run small-vs-small.
+        cand_urls = cand.select(
+            F.explode(F.array("url_a", "url_b")).alias("url")
+        ).distinct()
+        live = live.join(F.broadcast(cand_urls), "url")
     cand = cand.join(
         live.withColumnRenamed("url", "url_a"), "url_a", "left_semi"
     ).join(live.withColumnRenamed("url", "url_b"), "url_b", "left_semi")
     if prior_pairs is not None:
         # the delta: candidates not already gated in a previous drain.
-        # The near-dup stream's parquet store accumulates every pair
-        # ever emitted, so after the first drain most of `cand` is old.
+        # INVERTED anti-join: a left-anti can only broadcast its RIGHT
+        # side, so `cand anti prior` would shuffle the accumulated
+        # prior pair store every drain. Instead semi-join the store
+        # against the broadcast delta (store scanned, never shuffled —
+        # guide §3.1) to get the already-gated subset (≤ |cand|), then
+        # anti-join the delta against that small set.
+        already = prior_pairs.select("url_a", "url_b").join(
+            F.broadcast(cand), ["url_a", "url_b"], "left_semi"
+        )
         new_cand = cand.join(
-            prior_pairs.select("url_a", "url_b"), ["url_a", "url_b"],
-            "left_anti",
+            F.broadcast(already), ["url_a", "url_b"], "left_anti"
         )
     else:
         new_cand = cand
@@ -787,39 +858,131 @@ def streaming_verify_tail(
         # stored column order may differ from the fresh plan's)
         pairs = new_pairs.unionByName(prior_pairs)
     edges = verified_edges(pairs, cfg, "stream")
+    cached: list[DataFrame] = [new_pairs]
+    dirty_cids = dirty_assign = None
     if prior_assignments is not None:
-        # fold: prior components collapse to star edges around their
-        # min-label root; union with this drain's NEW verified edges.
-        # CC input size is O(new edges + prior non-singleton urls)
-        # instead of O(all edges ever).
-        fold = prior_assignments.filter(
-            F.col("url") != F.col("cluster_id")
-        ).select(
-            F.col("cluster_id").alias("url_a"), F.col("url").alias("url_b")
-        )
-        cc_in = verified_edges(new_pairs, cfg, "stream").select(
+        # DIRTY-CLUSTER tracking: only prior components containing an
+        # endpoint of a NEW verified edge can change (edges are
+        # append-only and store rows immutable, so untouched components
+        # and their min-labels are fixed points). Fold the dirty slice
+        # to star edges, union with the new edges, and CC runs on
+        # O(new edges + dirty-cluster members) instead of O(all prior
+        # non-singleton urls) per drain.
+        new_edges = verified_edges(new_pairs, cfg, "stream").select(
             "url_a", "url_b"
-        ).unionByName(fold)
+        )
+        touched = new_edges.select(
+            F.explode(F.array("url_a", "url_b")).alias("url")
+        ).distinct()
+        # touched/dirty_cids are delta-sized (new-edge endpoints and
+        # their clusters) — broadcast them through every slice join; a
+        # bulk backfill that makes the delta corpus-sized should run
+        # incremental=False instead
+        dirty_cids = (
+            prior_assignments.join(F.broadcast(touched), "url")
+            .select("cluster_id").distinct().persist()
+        )
+        cached.append(dirty_cids)
+        fold_dirty = (
+            prior_assignments.join(F.broadcast(dirty_cids), "cluster_id")
+            .filter(F.col("url") != F.col("cluster_id"))
+            .select(
+                F.col("cluster_id").alias("url_a"),
+                F.col("url").alias("url_b"),
+            )
+        )
+        slim = (
+            new_edges.unionByName(fold_dirty).distinct()
+            .localCheckpoint(eager=True)
+        )
+        cc_assign = connected_components(slim, n_edges=slim.count())
+        # singleton fill bounded to THIS drain's new urls: the pages
+        # cursor delta when the caller has one (minus the re-read
+        # margin's already-known urls), else derived by anti-joining
+        # the store against the prior assignments (degraded path)
+        if new_page_urls is not None:
+            delta_urls = new_page_urls.select("url").distinct()
+            known = prior_assignments.select("url").join(
+                F.broadcast(delta_urls), "url"
+            )
+            delta_urls = delta_urls.join(known, "url", "left_anti")
+        else:
+            delta_urls = pages_store.select("url").join(
+                prior_assignments.select("url"), "url", "left_anti"
+            )
+        singles = delta_urls.join(
+            cc_assign.select("url"), "url", "left_anti"
+        ).select("url", F.col("url").alias("cluster_id"))
+        dirty_assign = cc_assign.unionByName(singles).persist()
+        cached.append(dirty_assign)
+        # full assignment surface: untouched prior rows ride through
+        # verbatim (broadcast anti-join on the slim dirty id set — the
+        # prior store is scanned, never shuffled)
+        assign = prior_assignments.join(
+            F.broadcast(dirty_cids), "cluster_id", "left_anti"
+        ).unionByName(dirty_assign)
+        if timings is not None:
+            timings["n_dirty_clusters"] = dirty_cids.count()
     else:
-        cc_in = edges.select("url_a", "url_b")
-    slim = cc_in.distinct().localCheckpoint(eager=True)
-    assign = connected_components(slim, n_edges=slim.count())
-    assign = assignments_with_singletons(assign, pages_store.select("url"))
+        slim = (
+            edges.select("url_a", "url_b").distinct()
+            .localCheckpoint(eager=True)
+        )
+        cc_assign = connected_components(slim, n_edges=slim.count())
+        assign = assignments_with_singletons(
+            cc_assign, pages_store.select("url")
+        )
     # two consumers (assignments write + the members join below)
     assign = assign.persist()
+    cached.append(assign)
     # survivor tail, batch-ordered (run_dedup's exact sequence): the
     # stream works on real urls throughout, so no uid/label remap is
     # needed — feats already carries everything select_survivors reads
-    members = assign.join(feats, "url")
-    survivors = select_survivors(
-        members, cfg, authority_sources=cfg.authority_sources,
-        run_id=run_id, run_ts=run_ts,
-    )
-    survivors = reprint_notes(members, survivors)
-    survivors = apply_authorized_override(survivors, members, authorized_names)
+    if dirty_assign is not None and prior_survivors is not None:
+        # dirty slice only: survivor rows are pure per-cluster
+        # functions of the members' (immutable) features + cfg +
+        # run_id/run_ts, so untouched clusters reuse their stored rows
+        # with this run's identity re-stamped — output equals the full
+        # recompute exactly
+        members = dirty_assign.join(feats, "url")
+        survivors = select_survivors(
+            members, cfg, authority_sources=cfg.authority_sources,
+            run_id=run_id, run_ts=run_ts,
+        )
+        survivors = reprint_notes(members, survivors)
+        survivors = apply_authorized_override(
+            survivors, members, authorized_names
+        )
+        kept_prior = prior_survivors.join(
+            F.broadcast(dirty_cids), "cluster_id", "left_anti"
+        ).withColumn(
+            "lineage",
+            F.struct(
+                F.col("lineage.merged_from_note").alias("merged_from_note"),
+                F.lit(run_id).alias("run_id"),
+                F.lit(run_ts).alias("run_ts"),
+                F.lit("DEDUP").alias("agency"),
+            ),
+        ).withColumn("lineage_json", F.to_json(F.col("lineage")))
+        if timings is not None:
+            timings["n_prior_survivors_kept"] = kept_prior.count()
+        survivors = survivors.unionByName(
+            kept_prior.select(*survivors.columns)
+        )
+    else:
+        members = assign.join(feats, "url")
+        survivors = select_survivors(
+            members, cfg, authority_sources=cfg.authority_sources,
+            run_id=run_id, run_ts=run_ts,
+        )
+        survivors = reprint_notes(members, survivors)
+        survivors = apply_authorized_override(
+            survivors, members, authorized_names
+        )
     # survivors/rejected are two filters of this frame; unpersisted,
     # each write re-runs the whole survivor window + override chain
     survivors = survivors.persist()
+    cached.append(survivors)
     rejected = survivors.filter(F.col("reject_reason").isNotNull())
     kept = survivors.filter(F.col("reject_reason").isNull())
     return StreamingDedupResult(
@@ -827,8 +990,9 @@ def streaming_verify_tail(
         survivors=kept, rejected=rejected,
         # new_pairs is the persisted object (pairs may be a derived
         # union); release() must unpersist exactly what was pinned
-        cached=(new_pairs, assign, survivors),
+        cached=tuple(cached),
         new_pairs=new_pairs,
+        survivors_all=survivors,
     )
 
 
@@ -921,9 +1085,29 @@ def run_streaming_dedup(
             margin = (
                 datetime.fromisoformat(prior_cursor) - timedelta(seconds=2)
             ).astimezone(tz)
+            margin_str = margin.strftime("%Y-%m-%dT%H:%M:%S")
             pairs_reader = pairs_reader.option(
-                "modifiedAfter", margin.strftime("%Y-%m-%dT%H:%M:%S")
+                "modifiedAfter", margin_str
             )
+    # pages delta under the SAME cursor: new urls this drain, feeding
+    # the tail's singleton fill and dirty-cluster slice without a
+    # full-store anti-join (margin overlap is re-filtered inside the
+    # tail against the prior assignments; no-cursor runs pass None and
+    # the tail derives the delta itself)
+    new_page_urls = None
+    if prior_cursor is not None:
+        try:
+            new_page_urls = (
+                spark.read.option("modifiedAfter", margin_str)
+                .parquet(f"{work_dir}/pages")
+                .select("url")
+            )
+        except AnalysisException as e:
+            code = getattr(e, "getErrorClass", lambda: None)() or str(e)
+            if not ("PATH_NOT_FOUND" in str(code)
+                    or "UNABLE_TO_INFER_SCHEMA" in str(code)):
+                raise
+            new_page_urls = spark.createDataFrame([], "url string")
     try:
         candidate_pairs = pairs_reader.parquet(f"{work_dir}/pairs")
     except AnalysisException as e:
@@ -943,11 +1127,16 @@ def run_streaming_dedup(
         if incremental
         else (None, None)
     )
+    prior_surv = (
+        load_tail_survivors(spark, state_dir, cfg) if incremental else None
+    )
     res = streaming_verify_tail(
         pages_store, candidate_pairs, cfg, sources=sources,
         host_ids=host_ids, authorized_names=authorized_names, run_id=run_id,
         run_ts=run_ts, prior_pairs=prior_pairs,
-        prior_assignments=prior_assign, timings=timings,
+        prior_assignments=prior_assign, prior_survivors=prior_surv,
+        new_page_urls=new_page_urls if prior_assign is not None else None,
+        timings=timings,
     )
     if timings is not None:
         timings["t_tail_build_s"] = round(_time.time() - _t0, 2)
@@ -956,6 +1145,7 @@ def run_streaming_dedup(
         save_tail_state(
             state_dir, res.new_pairs, res.pairs, res.assignments, cfg,
             cursor=drain_end.isoformat(timespec="seconds"),
+            survivors=res.survivors_all,
         )
         if timings is not None:
             timings["t_save_s"] = round(_time.time() - _t0, 2)

@@ -137,9 +137,19 @@ def write_warc_shards(
         # POSIX, and byte-identical content makes the race harmless
         # whichever attempt lands last
         tmp = f"{path}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
-        with open(tmp, "wb") as f:
-            f.write(blob)
-        os.replace(tmp, path)
+        try:
+            with open(tmp, "wb") as f:
+                f.write(blob)
+            os.replace(tmp, path)
+        finally:
+            # a task attempt dying between open() and replace() must
+            # not leave its orphaned tmp file behind forever (readers
+            # ignore it, but retried runs would accumulate garbage)
+            if os.path.exists(tmp):
+                try:
+                    os.unlink(tmp)
+                except OSError:
+                    pass
         return pd.DataFrame(
             {"shard": [shard], "path": [path], "n_records": [len(pdf)]}
         )

@@ -1008,3 +1008,113 @@ def test_crawl_window_stats_stream_drops_late_data(spark, tmp_path):
     assert r["n_chars"] == 6  # 'aa' + 'b' + 'ccc'
     assert r["first_ts_epoch"] == base + 30
     assert r["last_ts_epoch"] == base + 120
+
+
+def test_dirty_cluster_survivor_reuse(spark, tmp_path):
+    """VERDICT r5 #1: drain 2's survivor stage must recompute ONLY the
+    clusters touched by that drain's new edges/urls (dirty-cluster
+    tracking) and reuse the prior survivor store for the rest, while
+    every output stays identical to a full recompute."""
+    import datetime
+
+    import numpy as np
+
+    from dedup.schema import PAGES_SCHEMA
+    from dedup.streaming import run_streaming_dedup, streaming_verify_tail
+
+    cfg = DedupConfig()
+    rng = np.random.default_rng(33)
+    voc_a = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot"]
+    voc_b = ["zulu", "yankee", "xray", "whiskey", "victor", "uniform"]
+
+    def doc(voc, seed_words, edits=()):
+        w = list(seed_words)
+        for pos, word in edits:
+            w[pos] = word
+        return " ".join(w)
+
+    words_a = [voc_a[i] for i in rng.integers(0, len(voc_a), 250)]
+    words_b = [voc_b[i] for i in rng.integers(0, len(voc_b), 250)]
+    ts = datetime.datetime(2024, 6, 1)
+
+    def row(url, text):
+        return (url, ts, b"<html>", text, "en", [], [], [], ["h"], None)
+
+    src = str(tmp_path / "dirty_src")
+    work = str(tmp_path / "dirty_work")
+
+    # drain 1: family A {a1, a2}, family B {b1, b2}, singleton e
+    batches1 = (
+        [row("https://d/a1", doc(voc_a, words_a))],
+        [row("https://d/a2", doc(voc_a, words_a, [(10, "golf")])),
+         row("https://d/b1", doc(voc_b, words_b))],
+        [row("https://d/b2", doc(voc_b, words_b, [(20, "tango")])),
+         row("https://d/e", " ".join(["kilo"] * 120))],
+    )
+    for batch in batches1:
+        spark.createDataFrame(batch, PAGES_SCHEMA) \
+            .coalesce(1).write.mode("append").parquet(src)
+    t1: dict = {}
+    res1 = run_streaming_dedup(spark, src, work, cfg, timings=t1)
+    a1 = {r["url"]: r["cluster_id"] for r in res1.assignments.collect()}
+    assert a1["https://d/a1"] == a1["https://d/a2"]
+    assert a1["https://d/b1"] == a1["https://d/b2"]
+    res1.release()
+
+    # drain 2: one near-dup of family A + one fresh singleton f —
+    # family B and singleton e must NOT be recomputed
+    spark.createDataFrame(
+        [row("https://d/a3", doc(voc_a, words_a, [(200, "hotel")])),
+         row("https://d/f", " ".join(["lima"] * 120))],
+        PAGES_SCHEMA,
+    ).coalesce(1).write.mode("append").parquet(src)
+    t2: dict = {}
+    res2 = run_streaming_dedup(spark, src, work, cfg, timings=t2)
+
+    # delta evidence: exactly ONE prior cluster (family A) is dirty;
+    # family B's cluster and singleton e reuse their stored survivor
+    # rows (2 kept), and only the A-pairs re-verify
+    assert t2["n_dirty_clusters"] == 1, t2
+    assert t2["n_prior_survivors_kept"] == 2, t2
+    assert t2["n_cand_new"] == 2, t2
+
+    got = {
+        "assign": sorted(
+            (r["url"], r["cluster_id"]) for r in res2.assignments.collect()
+        ),
+        "surv": sorted(
+            tuple(str(r[c]) for c in (
+                "cluster_id", "survivor_url", "n_members", "cluster_key",
+                "merged_from", "sources", "notes", "lineage_json",
+                "canonical_host", "reject_reason",
+            ))
+            for r in res2.survivors.collect()
+        ),
+    }
+    res2.release()
+
+    # full recompute over the same stores must match EXACTLY, including
+    # lineage (reused rows are re-stamped with the current run identity)
+    full = streaming_verify_tail(
+        spark.read.parquet(f"{work}/pages"),
+        spark.read.parquet(f"{work}/pairs"),
+        cfg,
+    )
+    want = {
+        "assign": sorted(
+            (r["url"], r["cluster_id"]) for r in full.assignments.collect()
+        ),
+        "surv": sorted(
+            tuple(str(r[c]) for c in (
+                "cluster_id", "survivor_url", "n_members", "cluster_key",
+                "merged_from", "sources", "notes", "lineage_json",
+                "canonical_host", "reject_reason",
+            ))
+            for r in full.survivors.collect()
+        ),
+    }
+    full.release()
+    assert got == want
+    assign2 = dict(got["assign"])
+    assert assign2["https://d/a3"] == assign2["https://d/a1"]
+    assert assign2["https://d/f"] == "https://d/f"
