@@ -263,8 +263,22 @@ def corpus_dataframes(
 
     pages_pdf = pages_pdf.copy()
     pages_pdf["warc_ts"] = pages_pdf["warc_ts"].dt.tz_localize(None)
+
+    def frame(pdf, schema) -> DataFrame:
+        # Spark 4's createDataFrame (arrow path included) roots the
+        # frame on a LocalRelation — the ROWS live inside the logical
+        # plan, and every downstream plan construction / optimizer pass
+        # drags them along (measured: +2-3 s of per-run driver wall in
+        # the 30k-doc pipeline, growing with corpus size). An eager
+        # localCheckpoint re-roots on an RDD leaf: same rows, O(1)
+        # plan, one materialization job here instead of a
+        # driver-side LocalTableScan per action.
+        return spark.createDataFrame(pdf, schema).localCheckpoint(
+            eager=True
+        )
+
     return (
-        spark.createDataFrame(pages_pdf, PAGES_SCHEMA),
-        spark.createDataFrame(truth_pdf, TRUTH_SCHEMA),
-        spark.createDataFrame(src_pdf, SOURCES_SCHEMA),
+        frame(pages_pdf, PAGES_SCHEMA),
+        frame(truth_pdf, TRUTH_SCHEMA),
+        frame(src_pdf, SOURCES_SCHEMA),
     )

@@ -289,14 +289,18 @@ def test_no_registry_pins_no_channel_caches(spark):
             ids.add(it.next())
         return ids
 
+    # snapshot AFTER corpus creation: corpus_dataframes re-roots its
+    # frames on an eager localCheckpoint (plan-size fix, r6), whose RDD
+    # blocks are caller-owned — they unpin via ContextCleaner when the
+    # caller drops the frames, unlike an ownerless channel persist
+    pages, _truth, _sources = corpus_dataframes(spark, n_docs=120, seed=11)
+    clean = quarantine_filter(with_normalized(pages))
+    cfg = DedupConfig()
+
     base = cached_ids()
 
     def leaked() -> set[int]:
         return cached_ids() - base
-
-    pages, _truth, _sources = corpus_dataframes(spark, n_docs=120, seed=11)
-    clean = quarantine_filter(with_normalized(pages))
-    cfg = DedupConfig()
 
     pairs, _hot = pairs_from_buckets(
         explode_bands(signatures(clean, cfg), cfg),
