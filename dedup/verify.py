@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 from dedup.config import DedupConfig
+from dedup.exprcache import memo
 from dedup.rules import validate_fields_reasons
 
 MERGE_ERROR_PREFIX = "MergeValidationError: "
@@ -123,17 +124,73 @@ def pair_reasons(
     plays "preferred" (a = lexicographically-smaller url, the merge
     base by convention; survivor selection later re-decides).
     """
+    has_real_url = "a_real_url" in pairs.columns
+    has_extent = "a_extent" in pairs.columns
+    has_component = "a_is_component" in pairs.columns
+    # memoized static tree (dedup/exprcache.py): depends only on the
+    # signature below, never on data
+    reasons = memo(
+        (
+            "pair_reasons",
+            has_real_url,
+            has_extent,
+            has_component,
+            host_ids is not None,
+            tuple(sorted(
+                (t, a, b, tuple(cfg.field_rules[t]))
+                for t, (a, b) in (rule_columns or {}).items()
+            )),
+            # count order is semantic (first-match-wins) — keep it
+            tuple((t, a, b) for t, (a, b) in (count_columns or {}).items()),
+        ),
+        lambda: _build_reasons_expr(
+            cfg,
+            has_real_url,
+            has_extent,
+            has_component,
+            host_ids is not None,
+            rule_columns,
+            count_columns,
+        ),
+    )
+
+    df = pairs
+    if host_ids is not None:
+        hosts = F.broadcast(
+            host_ids.select(F.col("url").alias("host_url")).distinct()
+        )
+        df = (
+            df.join(hosts, df.url_b == hosts.host_url, "left")
+            .withColumn("b_is_host", F.col("host_url").isNotNull())
+            .drop("host_url")
+            .join(hosts, df.url_a == hosts.host_url, "left")
+            .withColumn("a_is_host", F.col("host_url").isNotNull())
+            .drop("host_url")
+        )
+    return df.withColumn("reasons", reasons).withColumn(
+        "can_merge", F.size("reasons") == 0
+    )
+
+
+def _build_reasons_expr(
+    cfg: DedupConfig,
+    has_real_url: bool,
+    has_extent: bool,
+    has_component: bool,
+    with_host: bool,
+    rule_columns: dict[str, tuple[str, str]] | None,
+    count_columns: dict[str, tuple[str, str]] | None,
+) -> Column:
+    """The full `reasons` expression tree (see pair_reasons for the
+    validator inventory and reference anchors). Pure function of the
+    arguments — memoized by pair_reasons."""
     parts: list[Column] = []
 
     # identity columns for reason messages: when the pipeline runs on
     # integer surrogate ids, the human-readable url rides along as
     # a_real_url/b_real_url and messages use it (golden fidelity)
-    disp_a = (
-        F.col("a_real_url") if "a_real_url" in pairs.columns else F.col("url_a")
-    )
-    disp_b = (
-        F.col("b_real_url") if "b_real_url" in pairs.columns else F.col("url_b")
-    )
+    disp_a = F.col("a_real_url") if has_real_url else F.col("url_a")
+    disp_b = F.col("b_real_url") if has_real_url else F.col("url_b")
 
     # noSameLOWTags (mergeability-validators.js:52-67) — one reason per
     # overlapping source, message verbatim incl. the reference's typo.
@@ -225,7 +282,7 @@ def pair_reasons(
 
     # same300TypeAndCount (mergeability-validators.js:152-178) on the
     # physical-extent analogue column, pre-inferred per url.
-    if "a_extent" in pairs.columns:
+    if has_extent:
         from dedup.infer import extent_mismatch_reason
 
         parts.append(
@@ -238,7 +295,7 @@ def pair_reasons(
         )
 
     # notComponentRecord (mergeability-validators.js:237-252)
-    if "a_is_component" in pairs.columns:
+    if has_component:
         parts.append(
             _reason_when(
                 F.col("b_is_component"),
@@ -253,20 +310,9 @@ def pair_reasons(
         )
 
     # notHostRecord (mergeability-validators.js:180-203): per-record RPC
-    # replaced by one broadcast membership check.
-    df = pairs
-    if host_ids is not None:
-        hosts = F.broadcast(
-            host_ids.select(F.col("url").alias("host_url")).distinct()
-        )
-        df = (
-            df.join(hosts, df.url_b == hosts.host_url, "left")
-            .withColumn("b_is_host", F.col("host_url").isNotNull())
-            .drop("host_url")
-            .join(hosts, df.url_a == hosts.host_url, "left")
-            .withColumn("a_is_host", F.col("host_url").isNotNull())
-            .drop("host_url")
-        )
+    # replaced by one broadcast membership check — pair_reasons attaches
+    # the a_/b_is_host flags; these parts bind to them by name.
+    if with_host:
         parts.append(
             _reason_when(
                 F.col("b_is_host"),
@@ -283,9 +329,7 @@ def pair_reasons(
     reasons = parts[0]
     for p in parts[1:]:
         reasons = F.concat(reasons, p)
-    return df.withColumn("reasons", reasons).withColumn(
-        "can_merge", F.size("reasons") == 0
-    )
+    return reasons
 
 
 def with_stat_parity(pairs: DataFrame) -> DataFrame:
@@ -304,32 +348,40 @@ def with_stat_parity(pairs: DataFrame) -> DataFrame:
     """
     from dedup.rules import field_rule_reasons
 
-    out = pairs
-    if "a_headings" in pairs.columns:
-        out = out.withColumn(
-            "stat_245_msgs",
-            field_rule_reasons(
+    has_headings = "a_headings" in pairs.columns
+
+    def build() -> tuple:
+        if has_headings:
+            s245 = field_rule_reasons(
                 "headings",
                 F.col("b_headings"),
                 F.col("a_headings"),
                 ["preferredIsSuperset"],
-            ),
+            )
+        else:
+            s245 = F.array().cast("array<string>")
+        p_d, o_d = F.col("a_has_diacritics"), F.col("b_has_diacritics")
+        sdiac = (
+            F.when(
+                p_d & o_d,
+                F.array(F.lit("Both fields have diacritics in field: text")),
+            )
+            .when(
+                p_d,
+                F.array(F.lit("Preferred fields has diacritics in field: text")),
+            )
+            .when(
+                o_d,
+                F.array(F.lit("Other fields has diacritics in field: text")),
+            )
+            .otherwise(F.array().cast("array<string>"))
         )
-    else:
-        out = out.withColumn(
-            "stat_245_msgs", F.array().cast("array<string>")
-        )
-    p_d, o_d = F.col("a_has_diacritics"), F.col("b_has_diacritics")
-    out = out.withColumn(
-        "stat_diacritics_msgs",
-        F.when(
-            p_d & o_d, F.array(F.lit("Both fields have diacritics in field: text"))
-        )
-        .when(p_d, F.array(F.lit("Preferred fields has diacritics in field: text")))
-        .when(o_d, F.array(F.lit("Other fields has diacritics in field: text")))
-        .otherwise(F.array().cast("array<string>")),
+        return s245, sdiac
+
+    s245, sdiac = memo(("stat_parity", has_headings), build)
+    return pairs.withColumn("stat_245_msgs", s245).withColumn(
+        "stat_diacritics_msgs", sdiac
     )
-    return out
 
 
 def jaccard_on_pairs(candidates: DataFrame, shingle_sets: DataFrame) -> DataFrame:
